@@ -1,0 +1,90 @@
+"""spark-submit entrypoint for the CDC replay job (north rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Usage:
+    cd /root/repo && zip -r /tmp/pyspark_cdc.zip pyspark_cdc
+    spark-submit --master local[32] --py-files /tmp/pyspark_cdc.zip \
+        jobs/replay.py --log-dir /tmp/log --table-dir /tmp/lake \
+        --mode stream --checkpoint /tmp/ckpt [--generate 1000000]
+
+Prints one JSON line with throughput + final-state stats. On a real
+cluster, drop --master and submit to YARN/K8s — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="pyspark-cdc replay job")
+    ap.add_argument("--log-dir", required=True, help="Kafka-shaped parquet event log")
+    ap.add_argument("--table-dir", required=True, help="lake table directory")
+    ap.add_argument("--mode", choices=["batch", "stream"], default="stream")
+    ap.add_argument("--checkpoint", help="checkpoint dir (stream mode)")
+    ap.add_argument("--metrics-dir", help="lineage metrics dir")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--max-files-per-trigger", type=int)
+    ap.add_argument("--generate", type=int, metavar="N_EVENTS",
+                    help="synthesize a deterministic event log first")
+    ap.add_argument("--gen-keys", type=int, default=100_000)
+    ap.add_argument("--gen-files", type=int, default=32)
+    ap.add_argument("--hot-pct", type=int, default=30)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pyspark_cdc import generate
+    from pyspark_cdc.sink import ParquetLake
+    from pyspark_cdc.stream import replay_batch, replay_stream
+
+    spark = SparkSession.builder.appName("pyspark_cdc_replay").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # engine-required session settings (idempotent if already set)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    if args.generate:
+        generate.write_log(
+            spark, args.log_dir, n_events=args.generate,
+            n_keys=args.gen_keys, n_files=args.gen_files, hot_pct=args.hot_pct,
+        )
+
+    lake = ParquetLake(spark, args.table_dir, n_buckets=args.n_buckets)
+
+    t0 = time.monotonic()
+    if args.mode == "batch":
+        stats = replay_batch(spark, args.log_dir, lake, metrics_dir=args.metrics_dir)
+    else:
+        if not args.checkpoint:
+            ap.error("--checkpoint is required in stream mode")
+        q = replay_stream(
+            spark, args.log_dir, lake,
+            checkpoint_dir=args.checkpoint, metrics_dir=args.metrics_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        stats = {"status": "stream_drained", "batches": len(lake.applied_batch_ids())}
+    wall = time.monotonic() - t0
+
+    n_events = spark.read.parquet(args.log_dir).count()
+    n_rows = lake.read().count()
+    out = {
+        "mode": args.mode,
+        "wall_sec": round(wall, 3),
+        "n_events": n_events,
+        "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+        "final_rows": n_rows,
+        "snapshot": (lake.current_meta() or {}).get("id"),
+        "merge": stats,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

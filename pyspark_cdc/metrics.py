@@ -1,0 +1,64 @@
+"""Per-partition lineage + throughput metrics (SURVEY.md S10 / north rule
+"per-partition lineage and throughput/lag metrics").
+
+For every micro-batch we append one row per (topic, partition) to a
+parquet metrics table:
+
+    batch_id, topic, partition, n_records, n_ok, n_upserts, n_deletes,
+    n_tombstone, n_malformed, n_unknown_op, n_missing_key,
+    min_offset, max_offset, min_lsn, max_lsn, batch_wall_ms
+
+The dead-letter taxonomy mirrors the reference's log-and-skip behavior
+(sync.go:44-47,136-158): data errors are counted, never fail the job.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import LSN_COL
+
+
+def batch_lineage(parsed: DataFrame, batch_id) -> DataFrame:
+    s = F.col("status")
+    return parsed.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((s == "ok").cast("long")).alias("n_ok"),
+        F.sum(((s == "ok") & (F.col("effective_op") == "u")).cast("long")).alias("n_upserts"),
+        F.sum(((s == "ok") & (F.col("effective_op") == "d")).cast("long")).alias("n_deletes"),
+        F.sum((s == "tombstone").cast("long")).alias("n_tombstone"),
+        F.sum((s == "malformed").cast("long")).alias("n_malformed"),
+        F.sum((s == "unknown_op").cast("long")).alias("n_unknown_op"),
+        F.sum((s == "missing_key").cast("long")).alias("n_missing_key"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.min(F.when(s == "ok", F.col(LSN_COL))).alias("min_lsn"),
+        F.max(F.when(s == "ok", F.col(LSN_COL))).alias("max_lsn"),
+    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+
+
+class MetricsWriter:
+    def __init__(self, metrics_dir: str | None):
+        self.metrics_dir = metrics_dir
+
+    def write(self, parsed: DataFrame, batch_id, wall_ms: float | None = None) -> None:
+        if not self.metrics_dir:
+            return
+        lineage = batch_lineage(parsed, batch_id)
+        if wall_ms is not None:
+            lineage = lineage.withColumn("batch_wall_ms", F.lit(float(wall_ms)))
+        lineage.write.mode("append").parquet(os.path.join(self.metrics_dir, "lineage"))
+
+
+class Stopwatch:
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall_ms = (time.monotonic() - self.t0) * 1000.0
+        return False

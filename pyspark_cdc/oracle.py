@@ -1,0 +1,171 @@
+"""Pure-Python oracle: replays the reference's sync semantics over an event
+log and returns the final table state.
+
+This is the correctness target for the Spark engine (SURVEY.md section 5.2
+item 1). It mirrors, in plain dicts, the reference consumer's apply loop:
+
+* tombstone skip            meilisearch-sync-service/internal/service/sync.go:124-127
+* JSON unmarshal + skip     sync.go:129-132
+* op dispatch c/r/u vs d    sync.go:51,91,114,136-158
+* document extraction incl. string-encoded inner payload unwrap
+                            sync.go:198-224
+* key coercion to string (fmt.Sprint analog)   sync.go:227-235
+* is_delete truthiness (true/"true"/"1")       sync.go:162-174
+* soft-delete-via-update => physical delete    sync.go:69-76
+* delete key from `before`                     sync.go:146-156
+* missing key => skip                          sync.go:142-145
+
+Events are applied in (lsn, tx_id, ts_ms, offset) order — the explicit
+ordering that replaces Kafka per-partition arrival order (SURVEY.md J1).
+Applying *all* events in order and the engine applying only the per-key
+last writer produce the same final state because upserts replace whole rows
+and deletes remove them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+KNOWN_NON_DOMAIN = {"is_delete", "payload"}
+
+
+def _coerce_str(v: Any) -> str | None:
+    """fmt.Sprint analog for key fields, matching Spark's JSON string
+    coercion of scalar tokens (number 123 -> "123", bool true -> "true")."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _truthy_delete(v: Any) -> bool:
+    if v is True:
+        return True
+    return isinstance(v, str) and v.lower() in ("true", "1")
+
+
+def extract_doc(after: dict) -> dict:
+    """sync.go:198-224: unwrap inner `payload` (string-encoded JSON or
+    object; anything else contributes nothing); inner fields override
+    flat fields."""
+    doc = {k: v for k, v in after.items() if k != "payload"}
+    if "payload" in after:
+        p = after["payload"]
+        inner: dict = {}
+        if isinstance(p, str):
+            try:
+                parsed = json.loads(p)
+                if isinstance(parsed, dict):
+                    inner = parsed
+            except (ValueError, TypeError):
+                inner = {}
+        elif isinstance(p, dict):
+            inner = p
+        doc.update(inner)
+    return doc
+
+
+def replay(events: list[dict]) -> dict:
+    """Replay Kafka-shaped records (dicts with key/value/topic/partition/
+    offset). Returns {"state": {(repo,path): row}, "counts": {...}}.
+    Row values are stringified the way the Spark engine stores them
+    (everything is a string column in the open-world extras model).
+    """
+    counts = {
+        "tombstone": 0,
+        "malformed": 0,
+        "unknown_op": 0,
+        "missing_key": 0,
+        "upserts": 0,
+        "deletes": 0,
+    }
+    parsed = []
+    for rec in events:
+        v = rec.get("value")
+        if v is None or v.strip() == "" or v.strip() == "null":
+            counts["tombstone"] += 1
+            continue
+        try:
+            env = json.loads(v)
+        except (ValueError, TypeError):
+            counts["malformed"] += 1
+            continue
+        payload = env.get("payload") if isinstance(env, dict) else None
+        if not isinstance(payload, dict) or not isinstance(payload.get("op"), str):
+            counts["malformed"] += 1
+            continue
+        src = payload.get("source") or {}
+        tx = payload.get("transaction") or {}
+        lsn = src.get("lsn") or 0
+        parsed.append(
+            (
+                (lsn, tx.get("id") or 0, src.get("ts_ms") or 0, rec.get("offset") or 0),
+                payload,
+            )
+        )
+
+    parsed.sort(key=lambda t: t[0])
+
+    state: dict[tuple[str, str], dict] = {}
+    for ordkey, payload in parsed:
+        op = payload["op"]
+        if op in ("c", "r", "u"):
+            after = payload.get("after")
+            if not isinstance(after, dict):
+                counts["missing_key"] += 1
+                continue
+            doc = extract_doc(after)
+            repo = _coerce_str(doc.get("repo"))
+            path = _coerce_str(doc.get("path"))
+            if not repo or not path:
+                counts["missing_key"] += 1
+                continue
+            if _truthy_delete(doc.get("is_delete")):
+                state.pop((repo, path), None)
+                counts["deletes"] += 1
+            else:
+                row = {
+                    k: _coerce_str(v)
+                    for k, v in doc.items()
+                    if k not in KNOWN_NON_DOMAIN
+                }
+                row["repo"], row["path"] = repo, path
+                state[(repo, path)] = row
+                counts["upserts"] += 1
+        elif op == "d":
+            before = payload.get("before")
+            if not isinstance(before, dict):
+                counts["missing_key"] += 1
+                continue
+            repo = _coerce_str(before.get("repo"))
+            path = _coerce_str(before.get("path"))
+            if not repo or not path:
+                counts["missing_key"] += 1
+                continue
+            state.pop((repo, path), None)
+            counts["deletes"] += 1
+        else:
+            counts["unknown_op"] += 1
+
+    return {"state": state, "counts": counts}
+
+
+def replay_parquet_log(log_dir: str) -> dict:
+    """Replay an on-disk parquet event log (driver-side, test scale only)."""
+    import pyarrow.dataset as ds
+
+    table = ds.dataset(log_dir, format="parquet").to_table()
+    return replay(table.to_pylist())
+
+
+def content_sha256(state: dict[tuple[str, str], dict]) -> dict[tuple[str, str], str]:
+    """Per-row sha256(content) — the BASELINE.json input_hint invariant."""
+    return {
+        k: hashlib.sha256((row.get("content") or "").encode("utf-8")).hexdigest()
+        for k, row in state.items()
+    }

@@ -1,0 +1,258 @@
+"""Exactly-once MERGE sink: a bucketed, copy-on-write parquet lake with an
+Iceberg-style snapshot manifest.
+
+Why not Iceberg itself: the sandbox has no Iceberg runtime jar (SURVEY.md
+section 7.3 risk #1), so this module implements the same contract —
+`MERGE INTO sink ON (repo,path) WHEN MATCHED [AND op='d'] DELETE/UPDATE
+WHEN NOT MATCHED INSERT` (SURVEY.md S5/S6/J2/J3) — on plain parquet:
+
+* The table is hash-bucketed on the merge key: bucket =
+  pmod(xxhash64(repo, path), n_buckets). A MERGE reads and rewrites ONLY
+  the buckets its batch touches (copy-on-write at bucket granularity,
+  like Iceberg COW with bucket partition transform); untouched buckets
+  are carried forward by manifest reference. At 100 TB you'd raise
+  n_buckets so a bucket is a few GB — batch cost scales with batch key
+  spread, not table size.
+* Each commit writes an immutable snapshot manifest (bucket -> data dir,
+  applied batch ids, column list) and atomically swaps the `current`
+  pointer (os.replace). A crash mid-merge leaves the old snapshot
+  current; the streaming retry of the same epoch is detected via the
+  applied-batch-id log and becomes a no-op => idempotent foreachBatch,
+  exactly-once final state (SURVEY.md T1).
+* Deletes are retained as tombstone rows (__deleted=true, with their
+  lsn), so a late-replayed OLDER upsert for a deleted key loses the LWW
+  merge against the tombstone — strictly safer than the reference, which
+  accepts cross-partition reorder loss (SURVEY.md T3).
+* Additive schema evolution: extras-map keys observed in a batch become
+  real string columns; old files read as null via parquet mergeSchema
+  (north rule: new envelope columns auto-propagate to the sink schema).
+
+The MERGE itself is the same map-side-combining hash aggregate as the LWW
+stage: union(target-bucket rows, batch rows) -> max_by per key. Catalyst
+sees one shuffle on the merge key; AQE coalesces/splits partitions.
+
+Reference parity: upsert = Meilisearch AddDocuments PK-replace
+(sync.go:84), delete = DeleteDocument (sync.go:71,108-113), delete of a
+missing key is a no-op, revive-after-delete re-inserts
+(document_repository.py:42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import DELETED_COL, DOMAIN_COLS, KEY_COLS, LSN_COL, TS_COL, TX_COL
+
+BUCKET_COL = "__bucket"
+ORD_COLS = [LSN_COL, TX_COL, TS_COL]
+INTERNAL = [*ORD_COLS, DELETED_COL]
+
+
+def bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(*KEY_COLS), F.lit(n_buckets))
+
+
+class ParquetLake:
+    """Single-writer lake table. Metadata ops are driver-side file ops on a
+    shared filesystem (local here; a real deployment swaps this layer for
+    an Iceberg/metastore catalog — the data plane is unchanged)."""
+
+    def __init__(self, spark: SparkSession, table_dir: str, n_buckets: int = 32):
+        self.spark = spark
+        self.table_dir = table_dir
+        self.n_buckets = n_buckets
+        self._meta_dir = os.path.join(table_dir, "_meta")
+        os.makedirs(self._meta_dir, exist_ok=True)
+
+    # ---------------- metadata ----------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self._meta_dir, "current")
+
+    def current_meta(self) -> dict | None:
+        cp = self._current_path()
+        if not os.path.exists(cp):
+            return None
+        with open(cp) as f:
+            snap_id = f.read().strip()
+        with open(os.path.join(self._meta_dir, f"snap-{snap_id}.json")) as f:
+            return json.load(f)
+
+    def _commit_snapshot(self, meta: dict) -> None:
+        snap_file = os.path.join(self._meta_dir, f"snap-{meta['id']}.json")
+        with open(snap_file, "w") as f:
+            json.dump(meta, f)
+        tmp = os.path.join(self._meta_dir, f".current.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(meta["id"]))
+        os.replace(tmp, self._current_path())  # atomic pointer swap
+
+    def _empty_meta(self) -> dict:
+        return {
+            "id": 0,
+            "parent": None,
+            "n_buckets": self.n_buckets,
+            "extra_columns": [],
+            "buckets": {},
+            "batch_ids": [],
+        }
+
+    def extra_columns(self) -> list[str]:
+        meta = self.current_meta()
+        return list(meta["extra_columns"]) if meta else []
+
+    def applied_batch_ids(self) -> list:
+        meta = self.current_meta()
+        return list(meta["batch_ids"]) if meta else []
+
+    # ---------------- data plane ----------------
+
+    def _row_schema(self, extra_cols: list[str]) -> T.StructType:
+        fields = [T.StructField(c, T.StringType(), True) for c in DOMAIN_COLS]
+        fields += [T.StructField(c, T.StringType(), True) for c in extra_cols]
+        fields += [
+            T.StructField(LSN_COL, T.LongType(), True),
+            T.StructField(TX_COL, T.LongType(), True),
+            T.StructField(TS_COL, T.LongType(), True),
+            T.StructField(DELETED_COL, T.BooleanType(), True),
+            T.StructField(BUCKET_COL, T.LongType(), True),
+        ]
+        return T.StructType(fields)
+
+    def _read_buckets(self, meta: dict, buckets: list[int], extra_cols: list[str]) -> DataFrame:
+        paths = [
+            os.path.join(self.table_dir, meta["buckets"][str(b)])
+            for b in buckets
+            if str(b) in meta["buckets"]
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self._row_schema(extra_cols))
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for c in extra_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+
+    def merge(self, deduped: DataFrame, batch_id) -> dict:
+        """Idempotent MERGE of one LWW-deduped batch (one row per key,
+        columns KEY_COLS + order.CARRY_COLS). Returns commit stats."""
+        meta = self.current_meta() or self._empty_meta()
+        if batch_id in meta["batch_ids"]:
+            return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
+
+        src = deduped.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+
+        # One scalable pass: touched buckets + observed open-world keys
+        # (explode multiplies by ~#extras per row; hash-agg partial-combines
+        # down to <= n_buckets * n_keys rows before the collect).
+        summary = (
+            src.select(BUCKET_COL, F.explode_outer(F.map_keys("extras")).alias("_k"))
+            .groupBy(BUCKET_COL, "_k")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        touched = sorted({r[BUCKET_COL] for r in summary})
+        observed_keys = sorted({r["_k"] for r in summary if r["_k"] is not None})
+        if not touched:
+            new_meta = dict(meta, id=meta["id"] + 1, parent=meta["id"],
+                            batch_ids=meta["batch_ids"] + [batch_id])
+            self._commit_snapshot(new_meta)
+            return {"status": "empty_batch", "batch_id": batch_id}
+
+        # Additive schema evolution: union of stored and observed columns.
+        extra_cols = list(meta["extra_columns"])
+        for k in observed_keys:
+            if k not in extra_cols:
+                extra_cols.append(k)
+
+        src_flat = src.select(
+            *KEY_COLS,
+            *[F.col(c) for c in DOMAIN_COLS if c not in KEY_COLS],
+            *[F.element_at(F.col("extras"), k).alias(k) for k in extra_cols],
+            F.col(LSN_COL),
+            F.col(TX_COL),
+            F.col(TS_COL),
+            (F.col("effective_op") == "d").alias(DELETED_COL),
+            F.col(BUCKET_COL),
+        )
+        # Deleted rows keep the key + lsn only (tombstone): null out payload
+        # so a tombstone never leaks stale content.
+        payload_cols = [c for c in DOMAIN_COLS if c not in KEY_COLS] + extra_cols
+        for c in payload_cols:
+            src_flat = src_flat.withColumn(
+                c, F.when(F.col(DELETED_COL), F.lit(None).cast("string")).otherwise(F.col(c))
+            )
+
+        tgt = self._read_buckets(meta, touched, extra_cols)
+        tgt = tgt.unionByName(src_flat, allowMissingColumns=True)
+
+        non_key = [c for c in src_flat.columns if c not in KEY_COLS]
+        row = F.struct(*[F.col(c) for c in non_key])
+        ordk = F.struct(*[F.col(c) for c in ORD_COLS])
+        merged = (
+            tgt.groupBy(*KEY_COLS)
+            .agg(F.max_by(row, ordk).alias("_w"))
+            .select(*KEY_COLS, "_w.*")
+        )
+
+        data_rel = os.path.join("data", f"s{meta['id'] + 1}")
+        out_dir = os.path.join(self.table_dir, data_rel)
+        merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+
+        new_buckets = dict(meta["buckets"])
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out_dir)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+        for b in touched:
+            if b in written:
+                new_buckets[str(b)] = os.path.join(data_rel, f"{BUCKET_COL}={b}")
+            else:
+                new_buckets.pop(str(b), None)
+
+        new_meta = {
+            "id": meta["id"] + 1,
+            "parent": meta["id"],
+            "n_buckets": self.n_buckets,
+            "extra_columns": extra_cols,
+            "buckets": new_buckets,
+            "batch_ids": meta["batch_ids"] + [batch_id],
+        }
+        self._commit_snapshot(new_meta)
+        return {
+            "status": "committed",
+            "batch_id": batch_id,
+            "snapshot": new_meta["id"],
+            "touched_buckets": len(touched),
+            "new_columns": [k for k in observed_keys if k not in meta["extra_columns"]],
+        }
+
+    # ---------------- read path ----------------
+
+    def read(self, include_deleted: bool = False, include_internal: bool = False) -> DataFrame:
+        meta = self.current_meta()
+        extra_cols = list(meta["extra_columns"]) if meta else []
+        if not meta or not meta["buckets"]:
+            df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
+        else:
+            paths = [os.path.join(self.table_dir, p) for p in meta["buckets"].values()]
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            for c in extra_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if not include_internal:
+            df = df.drop(*INTERNAL, BUCKET_COL)
+        return df
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.table_dir, ignore_errors=True)

@@ -1,0 +1,87 @@
+"""J1 last-writer-wins: aggregate (max_by) vs window parity, shuffled input
+order, same-lsn tx tie-break, salted-window variant."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from pyspark_cdc.order import lww_aggregate, lww_window
+from pyspark_cdc.parse import parse_envelopes
+from pyspark_cdc.schemas import KAFKA_SHAPE
+
+
+def _log(spark, events):
+    recs = [
+        {"key": None, "value": v, "topic": "t", "partition": 0, "offset": i}
+        for i, v in enumerate(events)
+    ]
+    return parse_envelopes(spark.createDataFrame(recs, schema=KAFKA_SHAPE))
+
+
+def _env(repo, path, lsn, tx=0, content=None, op="u"):
+    return json.dumps(
+        {
+            "payload": {
+                "op": op,
+                "after": {"repo": repo, "path": path, "content": content or f"v{lsn}"},
+                "source": {"lsn": lsn, "ts_ms": lsn},
+                "transaction": {"id": tx},
+            }
+        }
+    )
+
+
+def test_lww_shuffled_order(spark):
+    rnd = random.Random(7)
+    events = [_env("r", f"p{k}", lsn) for k in range(20) for lsn in range(1, 11)]
+    rnd.shuffle(events)
+    out = {
+        (r["repo"], r["path"]): r["content"]
+        for r in lww_aggregate(_log(spark, events)).collect()
+    }
+    assert len(out) == 20
+    assert all(v == "v10" for v in out.values())
+
+
+def test_lww_tx_tiebreak(spark):
+    events = [
+        _env("r", "p", 5, tx=1, content="first"),
+        _env("r", "p", 5, tx=2, content="second"),
+    ]
+    rows = lww_aggregate(_log(spark, events)).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "second"
+
+
+def test_aggregate_equals_window_equals_salted(spark):
+    rnd = random.Random(42)
+    events = [
+        _env(f"r{k % 5}", f"p{k}", lsn, tx=rnd.randint(0, 3))
+        for k in range(50)
+        for lsn in rnd.sample(range(1, 100), 8)
+    ]
+    rnd.shuffle(events)
+    parsed = _log(spark, events)
+
+    def snap(df):
+        return {
+            (r["repo"], r["path"]): (r["content"], r["__lsn"], r["__tx_id"])
+            for r in df.collect()
+        }
+
+    a = snap(lww_aggregate(parsed))
+    w = snap(lww_window(parsed))
+    s = snap(lww_window(parsed, salt_buckets=8))
+    assert a == w == s
+
+
+def test_lww_plan_has_partial_aggregate(spark):
+    """The scale property: max_by LWW must be a hash aggregate with a
+    map-side partial (two HashAggregate nodes around the exchange), so hot
+    keys combine before the shuffle."""
+    parsed = _log(spark, [_env("r", "p", 1)])
+    plan = lww_aggregate(parsed)._jdf.queryExecution().executedPlan().toString()
+    # max_by over a struct ordering compiles to SortAggregate with a
+    # partial_max_by BEFORE the exchange — the map-side combine that makes
+    # hot keys ship one candidate per task instead of all their rows.
+    assert "partial_max_by" in plan, plan

@@ -1,0 +1,148 @@
+"""Operator-level unit tests for parse.py (SURVEY.md section 5.2 item 2):
+tombstones P2, malformed P1, op dispatch P3, string-encoded payload unwrap
+P4, key coercion P5, is_delete truthiness P7, missing-key filter P9,
+unknown-op skip P3."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from pyspark_cdc.generate import edge_case_df
+from pyspark_cdc.parse import parse_envelopes
+from pyspark_cdc.schemas import KAFKA_SHAPE
+
+
+def _parse_one(spark, value, offset=0):
+    df = spark.createDataFrame(
+        [{"key": None, "value": value, "topic": "t", "partition": 0, "offset": offset}],
+        schema=KAFKA_SHAPE,
+    )
+    return parse_envelopes(df).collect()[0]
+
+
+def _env(op, after=None, before=None, lsn=1, tx=None):
+    p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn}}
+    if tx is not None:
+        p["transaction"] = {"id": tx}
+    if after is not None:
+        p["after"] = after
+    if before is not None:
+        p["before"] = before
+    return json.dumps({"payload": p})
+
+
+def test_tombstones(spark):
+    for v in (None, "", "   ", "null"):
+        assert _parse_one(spark, v)["status"] == "tombstone"
+
+
+def test_malformed_json(spark):
+    for v in ('{"payload": {broken', "[1,2,3]", '{"payload": 7}', '{"nope": 1}'):
+        assert _parse_one(spark, v)["status"] == "malformed"
+
+
+def test_unknown_op_skipped_not_failed(spark):
+    r = _parse_one(spark, _env("x", {"repo": "a", "path": "b"}))
+    assert r["status"] == "unknown_op"
+    assert r["effective_op"] is None
+
+
+def test_upsert_ops(spark):
+    for op in ("c", "r", "u"):
+        r = _parse_one(spark, _env(op, {"repo": "a", "path": "b", "content": "x"}))
+        assert (r["status"], r["effective_op"]) == ("ok", "u")
+        assert r["content"] == "x"
+
+
+def test_hard_delete_key_from_before(spark):
+    r = _parse_one(spark, _env("d", before={"repo": "a", "path": "b"}))
+    assert (r["status"], r["effective_op"]) == ("ok", "d")
+    assert (r["repo"], r["path"]) == ("a", "b")
+
+
+def test_soft_delete_truthiness(spark):
+    # sync.go:162-174: bool true / "true" / "1" delete; others don't
+    for v in (True, "true", "1", "TRUE", "True"):
+        r = _parse_one(spark, _env("u", {"repo": "a", "path": "b", "is_delete": v}))
+        assert r["effective_op"] == "d", v
+    for v in (False, "false", "0", "", "yes", None):
+        r = _parse_one(spark, _env("u", {"repo": "a", "path": "b", "is_delete": v}))
+        assert r["effective_op"] == "u", v
+
+
+def test_numeric_key_coerced_to_string(spark):
+    # fmt.Sprint analog (sync.go:227-231)
+    r = _parse_one(spark, _env("c", {"repo": 123, "path": 456, "content": "x"}))
+    assert (r["repo"], r["path"]) == ("123", "456")
+    assert r["status"] == "ok"
+
+
+def test_missing_key_dead_letter(spark):
+    r = _parse_one(spark, _env("c", {"content": "orphan"}))
+    assert r["status"] == "missing_key"
+    r = _parse_one(spark, _env("c", {"repo": "", "path": "b"}))
+    assert r["status"] == "missing_key"
+    r = _parse_one(spark, _env("d", before={}))
+    assert r["status"] == "missing_key"
+
+
+def test_string_encoded_payload_unwrap(spark):
+    # sync.go:207-217: inner payload may be string-encoded JSON
+    inner = json.dumps({"commit": "abc", "lang": "go", "content": "inner wins"})
+    r = _parse_one(
+        spark,
+        _env("c", {"repo": "a", "path": "b", "content": "outer", "payload": inner}),
+    )
+    assert r["status"] == "ok"
+    assert (r["commit"], r["lang"], r["content"]) == ("abc", "go", "inner wins")
+
+
+def test_object_payload_unwrap(spark):
+    # payload may also arrive as a map (sync.go:213)
+    r = _parse_one(
+        spark,
+        _env("c", {"repo": "a", "path": "b", "payload": {"commit": "obj", "lang": "ts"}}),
+    )
+    assert r["status"] == "ok"
+    assert (r["commit"], r["lang"]) == ("obj", "ts")
+
+
+def test_garbage_payload_contributes_nothing(spark):
+    # "anything else => empty doc" (sync.go:216-217)
+    r = _parse_one(
+        spark, _env("c", {"repo": "a", "path": "b", "lang": "py", "payload": 42})
+    )
+    assert r["status"] == "ok"
+    assert r["lang"] == "py"
+
+
+def test_extras_capture_unknown_columns(spark):
+    r = _parse_one(
+        spark,
+        _env("c", {"repo": "a", "path": "b", "branch": "release/1", "stars": 7}),
+    )
+    assert r["extras"] == {"branch": "release/1", "stars": "7"}
+
+
+def test_extras_inner_overrides_flat(spark):
+    inner = json.dumps({"branch": "inner"})
+    r = _parse_one(
+        spark, _env("c", {"repo": "a", "path": "b", "branch": "flat", "payload": inner})
+    )
+    assert r["extras"]["branch"] == "inner"
+
+
+def test_ordering_metadata_materialized(spark):
+    r = _parse_one(spark, _env("u", {"repo": "a", "path": "b"}, lsn=99, tx=7))
+    assert (r["__lsn"], r["__tx_id"], r["__ts_ms"]) == (99, 7, 99)
+
+
+def test_edge_case_log_statuses(spark):
+    parsed = parse_envelopes(edge_case_df(spark))
+    counts = {r["status"]: r["n"] for r in parsed.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert counts["tombstone"] == 2
+    assert counts["malformed"] == 1
+    assert counts["unknown_op"] == 1
+    assert counts["missing_key"] == 1

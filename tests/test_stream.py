@@ -1,0 +1,86 @@
+"""Structured Streaming semantics (SURVEY.md section 5.2 item 3):
+streaming replay equals batch replay equals oracle; resume-from-checkpoint
+mid-stream equals single-run; duplicate epoch replay is a no-op."""
+
+from __future__ import annotations
+
+from pyspark_cdc import generate, oracle
+from pyspark_cdc.sink import ParquetLake
+from pyspark_cdc.stream import replay_stream
+
+
+def _final(lake):
+    return {(r["repo"], r["path"]): r.asDict() for r in lake.read().collect()}
+
+
+def _write_log(spark, tmp_path, n=1_200):
+    log_dir = str(tmp_path / "log")
+    generate.write_log(spark, log_dir, n_events=n, n_files=6, n_keys=200, seed=7)
+    return log_dir
+
+
+def test_streaming_replay_matches_oracle(spark, tmp_path):
+    log_dir = _write_log(spark, tmp_path)
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=8)
+    q = replay_stream(
+        spark, log_dir, lake, checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_dir=str(tmp_path / "metrics"), max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+
+    exp = oracle.replay_parquet_log(log_dir)["state"]
+    got = _final(lake)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k]["content"] == exp[k].get("content"), k
+
+    # multiple micro-batches actually ran and were individually committed
+    assert len(lake.applied_batch_ids()) >= 3
+
+    # lineage metrics exist per (batch, topic, partition) with offset ranges
+    m = spark.read.parquet(str(tmp_path / "metrics" / "lineage"))
+    assert m.count() >= 3
+    cols = set(m.columns)
+    assert {"batch_id", "topic", "partition", "n_ok", "n_malformed",
+            "min_offset", "max_offset", "min_lsn", "max_lsn"} <= cols
+
+
+def test_kill_and_resume_from_checkpoint(spark, tmp_path):
+    """T6: stop after the first micro-batch, restart with the same
+    checkpoint; final state must equal an uninterrupted run (oracle)."""
+    log_dir = _write_log(spark, tmp_path)
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = replay_stream(spark, log_dir, lake, checkpoint_dir=ckpt, max_files_per_trigger=1)
+    # stop as soon as at least one batch committed
+    while not lake.applied_batch_ids():
+        q.awaitTermination(0.2)
+    q.stop()
+    q.awaitTermination()
+    n_before = len(lake.applied_batch_ids())
+
+    q2 = replay_stream(spark, log_dir, lake, checkpoint_dir=ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+
+    exp = oracle.replay_parquet_log(log_dir)["state"]
+    got = _final(lake)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k]["content"] == exp[k].get("content"), k
+    assert len(lake.applied_batch_ids()) > n_before
+
+
+def test_restarted_query_does_not_reapply_epochs(spark, tmp_path):
+    """A fully-drained query restarted on the same checkpoint commits
+    nothing new (idempotent epochs)."""
+    log_dir = _write_log(spark, tmp_path, n=400)
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    replay_stream(spark, log_dir, lake, checkpoint_dir=ckpt).awaitTermination()
+    snap = lake.current_meta()["id"]
+    state = _final(lake)
+
+    replay_stream(spark, log_dir, lake, checkpoint_dir=ckpt).awaitTermination()
+    assert _final(lake) == state
+    assert lake.current_meta()["id"] == snap
