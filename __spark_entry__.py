@@ -1,38 +1,81 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship — replays a deterministic synthetic Debezium event
+log through the full CDC engine (parse -> LWW -> bucketed MERGE) and
+returns the final lake table.
+
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md section 2 plus the training-data operator suite
+(dedup/similarity/text/multimodal); oracles are ANSI SQL for DuckDB over
+the driver's pre-registered views. Engine-replay entries that aren't
+SQL-expressible (stateful streaming MERGE) are rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    # parse.py's extras merge needs LAST_WIN; harmless if already set
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _engine_replay(spark: SparkSession, n_events: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc import generate
+    from pyspark_cdc.sink import ParquetLake
+    from pyspark_cdc.stream import replay_batch
+
+    _ensure_session_conf(spark)
+    tmp = tempfile.mkdtemp(prefix="pyspark_cdc_entry_")
+    log_dir = os.path.join(tmp, "log")
+    generate.write_log(spark, log_dir, n_events=n_events, n_files=4, n_keys=300, seed=42)
+    lake = ParquetLake(spark, os.path.join(tmp, "lake"), n_buckets=16)
+    replay_batch(spark, log_dir, lake)
+    out = lake.read().orderBy("repo", "path")
+    # materialize before the temp dir can be cleaned
+    rows = out.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (all 16 FIXTURES.md F3 edge cases + bulk
+    events) to final table state; driver checks rows>0 + stable schema."""
+    return _engine_replay(spark, n_events=2_000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pyspark_cdc.queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    wrapped: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in spark_queries().items():
+        def _mk(f):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                _ensure_session_conf(spark)
+                return f(spark, sf_dir)
+            return run
+        wrapped[name] = _mk(fn)
+
+    # rows-only: the actual streaming-MERGE engine (non-SQL-expressible)
+    def engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine_replay(spark, n_events=2_000)
+
+    wrapped["cdc_engine_replay"] = engine_replay
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyspark_cdc.queries import oracle_sqls
+
+    return oracle_sqls()

@@ -1,0 +1,265 @@
+"""Deduplication operators for a training-data pipeline over `documents`:
+exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard. Engine-portable hashing: md5 hex
+strings compared lexicographically (identical in Spark and DuckDB), so
+every stage has a bit-exact DuckDB oracle.
+
+Scale notes (100 TB): the shingle explode is a flatMap (no shuffle); the
+minhash aggregation partial-combines map-side; the LSH band join is an
+equi-join on (band_idx, band_hash) — the whole point of LSH is that this
+join replaces the quadratic all-pairs comparison. The n-gram Jaccard
+operator drops stop-shingles (document frequency > DF_CAP) before the
+pair join, which bounds the join fan-out on pathological corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # 4 bands x 2 rows
+N_BANDS = 4
+DF_CAP = 50  # n-gram jaccard: drop shingles present in > DF_CAP docs
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+SQL_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- shared: 3-word shingles (1-based element_at == DuckDB list[i]) -------------
+
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+    " element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),"
+    " element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"
+)
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
+    " i -> concat_ws(' ', string_split(text, ' ')[i],"
+    " string_split(text, ' ')[least(i + 1, len(string_split(text, ' ')))],"
+    " string_split(text, ' ')[least(i + 2, len(string_split(text, ' ')))]))"
+)
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """doc -> 8 minhashes (min md5 over shingles per seed) -> 4 LSH bands
+    -> candidate pairs sharing any band. min() is duplicate-insensitive,
+    so no distinct-shingle pass is needed."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
+    )
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{k}")))).alias(f"mh{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
+                f"band{b}"
+            )
+            for b in range(N_BANDS)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) AS (band_idx, band_hash)".format(
+            n=N_BANDS,
+            args=", ".join(f"{b}, band{b}" for b in range(N_BANDS)),
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_minhash_bands() -> str:
+    mh_cols = ",\n         ".join(
+        f"min(md5(shingle || '|{k}')) AS mh{k}" for k in range(N_MINHASH)
+    )
+    band_cols = ",\n         ".join(
+        f"md5(mh{2 * b} || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+), mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM mh
+), stacked AS (
+{unions}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM stacked a JOIN stacked b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash: bit b is the sign of sum(+1/-1) over tokens, where
+    a token votes +1 iff hex digit b of md5(token) has its top bit set
+    (digit >= '8'); frequency-weighted (tokens not deduped), standard
+    SimHash. Output: fingerprint per doc + collision-cluster stats."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = F.md5(F.col("t"))
+    bits = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        )
+        for b in range(16)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.concat(
+            *[F.when(bit > 0, F.lit("1")).otherwise(F.lit("0")) for bit in bits]
+        ).alias("simhash")
+    )
+    return per_doc.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id")
+    )
+
+
+def _sql_simhash() -> str:
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN sum(CASE WHEN substring(md5(t), {p}, 1) >= '8' THEN 1 ELSE -1 END) > 0"
+        " THEN '1' ELSE '0' END AS bit{b}".format(p=b + 1, b=b)
+        for b in range(16)
+    )
+    concat = " || ".join(f"bit{b}" for b in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         {bit_exprs}
+  FROM tok GROUP BY doc_id
+)
+SELECT {concat} AS simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM per_doc GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard ----------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Distinct-shingle Jaccard over candidate pairs that share a
+    non-stop shingle; stop-shingles (df > DF_CAP) are dropped before the
+    pair join to bound fan-out."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
+    ).distinct()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(df_counts.filter(F.col("df") <= DF_CAP), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh_f.alias("a")
+    b = sh_f.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+  )
+), dfc AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+), sh_f AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= {DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh_f a JOIN sh_f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.5
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, SQL_EXACT),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_bands()),
+    "dedup_simhash": (dedup_simhash, _sql_simhash()),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _sql_ngram_jaccard()),
+}

@@ -1,0 +1,186 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim):
+brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(sign-of-dimension hyperplane) variant as the scale path.
+
+Numeric parity with the DuckDB oracle: both engines cast the float vectors
+to double and accumulate the dot product in index order (Spark
+zip_with+aggregate is sequential; DuckDB list_dot_product likewise), so
+the cosines are bit-identical. Outputs avoid raw floats where possible
+(pair ids + ranks); cosines are rounded to 4 decimals.
+
+Scale path (100 TB of vectors): brute force is O(Q*N) — fine for a small
+query set via broadcast (the N side streams, no shuffle); the LSH variant
+prunes N to one bucket per query. A real deployment adds IVF centroids;
+the bucketing/plumbing here is the same."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id 0..4 are the query set
+LSH_BITS = 8
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # broadcast the small query side; the big side streams without shuffle
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("q_vec"), F.col("embedding")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+
+SQL_BRUTEFORCE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               4) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket(vec):
+    """Sign-of-first-LSH_BITS-dimensions hyperplane bucket (deterministic,
+    engine-portable)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for i in range(LSH_BITS)
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("q_vec"), F.col("embedding")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _sql_bucket(col: str) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {col}[{i + 1}]::DOUBLE >= 0 THEN '1' ELSE '0' END"
+        for i in range(LSH_BITS)
+    )
+    return f"({bits})"
+
+
+SQL_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM b WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               4) AS cos
+  FROM b e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection: all pairs above a
+    threshold (the dedup-by-embedding operator). Pair ids only — no float
+    outputs."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.filter(_cosine(F.col("va"), F.col("vb")) >= 0.8).select(
+        "id_a", "id_b"
+    )
+
+
+SQL_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": (ann_bruteforce_topk, SQL_BRUTEFORCE),
+    "ann_lsh_topk": (ann_lsh_topk, SQL_LSH),
+    "emb_neardup_pairs": (emb_neardup_pairs, SQL_NEARDUP),
+}

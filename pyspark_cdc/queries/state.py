@@ -1,0 +1,290 @@
+"""Final-state read-path query surface (SURVEY.md section 2.5 Q1-Q14):
+the queries the reference's serving side supports (filter / set membership
+/ range / and-or / sort / paginate / project / point lookup / JSON
+expression lookup), as plain DataFrame ops over the driver tables, each
+with a DuckDB oracle. Q10/Q11 (highlighting, tenancy transport) are
+explicit non-goals (SURVEY.md section 7.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Q1: full-text keyword search (content contains)
+def q1_fulltext_search(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("merge")).select("doc_id", "source", "n_chars")
+
+
+SQL_Q1 = "SELECT doc_id, source, n_chars FROM documents WHERE text LIKE '%merge%'"
+
+
+# Q2: equality filter
+def q2_equality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("source") == "src0").select("doc_id", "n_chars")
+
+
+SQL_Q2 = "SELECT doc_id, n_chars FROM documents WHERE source = 'src0'"
+
+
+# Q3: set membership over a scalar and over an array field
+def q3_set_membership(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_Q3 = """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+"""
+
+
+def q3b_array_contains(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.array_contains(F.split(F.col("text"), " "), "vector")
+    ).select("doc_id")
+
+
+SQL_Q3B = """
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(text, ' '), 'vector')
+"""
+
+
+# Q4: range filter
+def q4_range_filter(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice").between(1000.0, 5000.0)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+SQL_Q4 = """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 5000.0
+"""
+
+
+# Q5: conjunctive multi-filter
+def q5_conjunctive(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= 10.0)
+            & (F.col("user_id") < 50)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+SQL_Q5 = """
+SELECT user_id, count(*) AS n_purchases FROM events
+WHERE event_type = 'purchase' AND value >= 10.0 AND user_id < 50
+GROUP BY user_id
+"""
+
+
+# Q6: disjunctive filter
+def q6_disjunctive(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").contains("vector") | F.col("text").contains("stream")
+    ).select("doc_id", "source")
+
+
+SQL_Q6 = """
+SELECT doc_id, source FROM documents
+WHERE text LIKE '%vector%' OR text LIKE '%stream%'
+"""
+
+
+# Q7+Q8: multi-key sort with offset/limit pagination (page 2 of 20, total
+# ordering via unique tiebreak)
+def q7_sort_paginate(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_Q7 = """
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT rn, o_orderkey, round(o_totalprice, 2) AS price
+FROM ranked WHERE rn > 20 AND rn <= 40
+"""
+
+
+# Q9: column projection (pruned scan)
+def q9_projection(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 100).select("p_partkey", "p_brand", "p_size")
+
+
+SQL_Q9 = "SELECT p_partkey, p_brand, p_size FROM part WHERE p_partkey <= 100"
+
+
+# Q12: list-latest (filter + order by recency + limit)
+def q12_list_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.col("event_id").desc())
+        .limit(20)
+        .select("event_id", "user_id")
+    )
+
+
+SQL_Q12 = """
+SELECT event_id, user_id FROM events
+WHERE event_type = 'click' ORDER BY event_id DESC LIMIT 20
+"""
+
+
+# Q13: point lookup by primary key
+def q13_point_lookup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") == 42).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_Q13 = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+
+# Q14: JSON expression lookup (the GIN-index analog)
+def q14_json_lookup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.filter(k.between(30, 60))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_Q14 = """
+SELECT event_type, count(*) AS n FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 30 AND 60
+GROUP BY event_type
+"""
+
+
+# Top-K per group (serving-side ranking pattern)
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_TOPK = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, rn FROM ranked WHERE rn <= 3
+"""
+
+
+# TPC-H Q1 shape: the aggregation headliner (decimal-exact sums)
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# Broadcast-join rollup (dimension join the sink's consumers run)
+def q_join_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_ROLLUP = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "q1_fulltext_search": (q1_fulltext_search, SQL_Q1),
+    "q2_equality_filter": (q2_equality_filter, SQL_Q2),
+    "q3_set_membership": (q3_set_membership, SQL_Q3),
+    "q3b_array_contains": (q3b_array_contains, SQL_Q3B),
+    "q4_range_filter": (q4_range_filter, SQL_Q4),
+    "q5_conjunctive": (q5_conjunctive, SQL_Q5),
+    "q6_disjunctive": (q6_disjunctive, SQL_Q6),
+    "q7_sort_paginate": (q7_sort_paginate, SQL_Q7),
+    "q9_projection": (q9_projection, SQL_Q9),
+    "q12_list_latest": (q12_list_latest, SQL_Q12),
+    "q13_point_lookup": (q13_point_lookup, SQL_Q13),
+    "q14_json_lookup": (q14_json_lookup, SQL_Q14),
+    "q_topk_per_group": (q_topk_per_group, SQL_TOPK),
+    "q_tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "q_join_rollup": (q_join_rollup, SQL_JOIN_ROLLUP),
+}
