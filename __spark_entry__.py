@@ -25,6 +25,7 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     # parse.py's extras merge needs LAST_WIN; harmless if already set
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
 
 
 def _engine_replay(spark: SparkSession, n_events: int) -> DataFrame:

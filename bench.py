@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Headline benchmark for the pyspark-cdc engine (driver contract).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_replay": sec, ...}, "sf": 0.1, ...}
+
+Headline workload:
+  * q_replay        — the flagship: deterministic Debezium event-log replay
+                      (parse -> LWW dedup -> bucketed COW MERGE) sized by sf;
+                      `replay_events_per_sec` is the BASELINE.json north metric.
+  * q_lww_state     — CDC final-state query over the driver `events` table.
+  * q1_pricing      — TPC-H Q1-shaped agg over lineitem (scan+agg throughput).
+  * q_topk_group    — top-k per group window over orders.
+  * q_minhash_lsh   — MinHash+LSH near-dup candidate pairs over documents.
+  * q_ann_cosine    — brute-force cosine top-k over embeddings.
+  * q_text_quality  — tokenize + quality-score the documents table.
+
+Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 from N to
+4N cores) is produced by scripts/scale_bench.sh -> BENCH/BASELINE.md; this
+file is the per-round single-config harness the driver runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pyspark_cdc_bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
+    """Flagship CDC replay sized by sf (sf0.1 -> 2M events, 200k keys).
+
+    Three runs into fresh lakes: run 1 pays JVM class-load/JIT warm-up (a
+    one-off for a long-running CDC tail job); headline = median of runs
+    2-3 (steady state). Cold-run throughput is reported alongside.
+    """
+    from pyspark_cdc import generate
+    from pyspark_cdc.sink import ParquetLake
+    from pyspark_cdc.stream import replay_batch
+
+    n_events = max(20_000, int(20_000_000 * sf))
+    n_keys = max(2_000, n_events // 10)
+    log_dir = os.path.join(workdir, "log")
+    generate.write_log(
+        spark, log_dir, n_events=n_events, n_keys=n_keys,
+        n_files=32, hot_pct=30, include_edge_cases=False,
+    )
+    walls = []
+    n_rows = 0
+    for run in (1, 2, 3):
+        lake = ParquetLake(spark, os.path.join(workdir, f"lake{run}"), n_buckets=64)
+        t0 = time.monotonic()
+        replay_batch(spark, log_dir, lake)
+        n_rows = lake.read().count()
+        walls.append(time.monotonic() - t0)
+    steady = sorted(walls[1:])[0 if len(walls) == 2 else len(walls[1:]) // 2]
+    return steady, {
+        "replay_n_events": n_events,
+        "replay_events_per_sec": round(n_events / steady, 1),
+        "replay_events_per_sec_cold": round(n_events / walls[0], 1),
+        "replay_run_walls": [round(w, 3) for w in walls],
+        "replay_final_rows": n_rows,
+    }
+
+
+HEADLINE = [
+    # (bench key, queries() registry key)
+    ("q_lww_state", "cdc_lww_final_state"),
+    ("q1_pricing", "q_tpch_q1"),
+    ("q_topk_group", "q_topk_per_group"),
+    ("q_minhash_lsh", "dedup_minhash_lsh"),
+    ("q_ann_cosine", "ann_bruteforce_topk"),
+    ("q_text_quality", "text_quality_score"),
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark_cdc.queries import REGISTRY
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="pyspark_cdc_bench_")
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+    try:
+        wall, extras = bench_replay(spark, sf, workdir)
+        queries["q_replay"] = round(wall, 3)
+
+        available = {name: fn for name, (fn, _sql) in REGISTRY.items()}
+        for bench_key, reg_key in HEADLINE:
+            fn = available.get(reg_key)
+            if fn is None:
+                continue
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            queries[bench_key] = round(time.monotonic() - t0, 3)
+            extras[f"{bench_key}_rows"] = n
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "cdc_replay_plus_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

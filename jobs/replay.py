@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int)
     ap.add_argument("--generate", type=int, metavar="N_EVENTS",
                     help="synthesize a deterministic event log first")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="batch mode: replay N times into fresh lakes; the "
+                         "first run pays JVM JIT warm-up (one-off for a "
+                         "long-running CDC tail job), steady-state "
+                         "throughput = median of runs 2..N")
     ap.add_argument("--gen-keys", type=int, default=100_000)
     ap.add_argument("--gen-files", type=int, default=32)
     ap.add_argument("--hot-pct", type=int, default=30)
@@ -47,6 +52,7 @@ def main(argv=None) -> int:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
 
     if args.generate:
         generate.write_log(
@@ -56,12 +62,21 @@ def main(argv=None) -> int:
 
     lake = ParquetLake(spark, args.table_dir, n_buckets=args.n_buckets)
 
-    t0 = time.monotonic()
+    run_walls: list[float] = []
     if args.mode == "batch":
-        stats = replay_batch(spark, args.log_dir, lake, metrics_dir=args.metrics_dir)
+        for r in range(1, args.runs + 1):
+            run_lake = (
+                lake if r == args.runs
+                else ParquetLake(spark, f"{args.table_dir}_warm{r}", n_buckets=args.n_buckets)
+            )
+            rt0 = time.monotonic()
+            stats = replay_batch(spark, args.log_dir, run_lake, metrics_dir=args.metrics_dir)
+            run_walls.append(round(time.monotonic() - rt0, 3))
+        wall = run_walls[-1]
     else:
         if not args.checkpoint:
             ap.error("--checkpoint is required in stream mode")
+        t0 = time.monotonic()
         q = replay_stream(
             spark, args.log_dir, lake,
             checkpoint_dir=args.checkpoint, metrics_dir=args.metrics_dir,
@@ -69,15 +84,22 @@ def main(argv=None) -> int:
         )
         q.awaitTermination()
         stats = {"status": "stream_drained", "batches": len(lake.applied_batch_ids())}
-    wall = time.monotonic() - t0
+        wall = time.monotonic() - t0
+        run_walls.append(round(wall, 3))
+
+    # steady-state = median of runs after the JIT warm-up run; a CDC tail
+    # job runs for days, so run-1 class-load/JIT cost is a one-off
+    steady = sorted(run_walls[1:])[len(run_walls[1:]) // 2] if len(run_walls) > 1 else wall
 
     n_events = spark.read.parquet(args.log_dir).count()
     n_rows = lake.read().count()
     out = {
         "mode": args.mode,
-        "wall_sec": round(wall, 3),
+        "wall_sec": steady,
+        "run_walls_sec": run_walls,
         "n_events": n_events,
-        "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+        "events_per_sec": round(n_events / steady, 1) if steady > 0 else None,
+        "events_per_sec_cold": round(n_events / run_walls[0], 1) if run_walls[0] > 0 else None,
         "final_rows": n_rows,
         "snapshot": (lake.current_meta() or {}).get("id"),
         "merge": stats,

@@ -13,17 +13,21 @@ Output: one normalized row per record with
 Everything is native Spark SQL expressions (whole-stage codegen): from_json
 for the envelope (P1), trim-filter for tombstones (P2), op dispatch via
 CASE (P3), string-encoded inner-payload unwrap via a second from_json (P4,
-sync.go:207-217 — Spark's JSON reader renders any non-string token,
-including a nested object, as its JSON text when the target field is
-StringType, which covers both the string-encoded and the object-valued
-inner payload), key coercion via StringType parsing (P5, fmt.Sprint
+sync.go:207-217), key coercion via StringType parsing (P5, fmt.Sprint
 analog sync.go:227-235), is_delete truthiness (P7, sync.go:162-174).
 
-The open-world extras map (the reference's schemaless-JSONB analog,
-schemas evolve additively) is extracted natively with map functions; a
-vectorized pandas-UDF implementation of the same unwrap lives in
-functions/udfs.py and is cross-checked in tests — the native path won the
-benchmark and keeps the hot path inside codegen.
+Parse-cost design (this is the per-row hot path of the whole engine):
+the row `value` JSON is scanned exactly TWICE for upserts — once for the
+envelope scaffolding with `after` left as a RAW JSON STRING (Spark's JSON
+reader renders any token, including a nested object, as its JSON text when
+the target field is StringType), and once to open that (smaller) `after`
+text as map<string,string>. All domain columns ARE strings (input_hint),
+so the map read gives both the typed fields and the open-world extras in
+one pass; numeric tokens render as their text = the reference's
+fmt.Sprint coercion (sync.go:227-231). The string-encoded inner payload
+(P4) adds a third, conditional scan of only the inner text. An earlier
+5-scan version (typed after struct + get_json_object + 2 map scans) was
+2.3x slower end-to-end.
 
 The soft-delete-via-update rule (an op=u event can MEAN delete,
 sync.go:69-76 / SURVEY.md section 3.2) is resolved HERE into effective_op,
@@ -34,13 +38,56 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .schemas import DOMAIN_COLS, ENVELOPE_SCHEMA, LSN_COL, TS_COL, TX_COL
+from .schemas import DOMAIN_COLS, LSN_COL, TS_COL, TX_COL
 
 # Keys of `after` that are NOT open-world extras.
 _KNOWN_AFTER_KEYS = [*DOMAIN_COLS, "is_delete", "payload"]
 
 _MAP_SS = "map<string,string>"
+
+# Parse-side envelope: `after` kept as raw JSON text (single scan), `before`
+# typed to just the key columns a delete needs (sync.go:146-156).
+PARSE_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField(
+                        "before",
+                        T.StructType(
+                            [
+                                T.StructField("repo", T.StringType(), True),
+                                T.StructField("path", T.StringType(), True),
+                            ]
+                        ),
+                        True,
+                    ),
+                    T.StructField("after", T.StringType(), True),
+                    T.StructField("op", T.StringType(), True),
+                    T.StructField(
+                        "source",
+                        T.StructType(
+                            [
+                                T.StructField("lsn", T.LongType(), True),
+                                T.StructField("ts_ms", T.LongType(), True),
+                            ]
+                        ),
+                        True,
+                    ),
+                    T.StructField(
+                        "transaction",
+                        T.StructType([T.StructField("id", T.LongType(), True)]),
+                        True,
+                    ),
+                ]
+            ),
+            True,
+        )
+    ]
+)
 
 
 def _not_known(k: Column) -> Column:
@@ -53,24 +100,30 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
     v = F.trim(F.col("value"))
     is_tombstone = F.col("value").isNull() | (v == "") | (v == "null")
 
-    df = raw.withColumn("_env", F.from_json(F.col("value"), ENVELOPE_SCHEMA))
+    df = raw.withColumn("_env", F.from_json(F.col("value"), PARSE_ENVELOPE_SCHEMA))
     p = F.col("_env.payload")
 
     # from_json yields null struct on malformed JSON (PERMISSIVE); an
     # envelope without op is equally unusable (sync.go:129-132).
     is_malformed = ~is_tombstone & (p.isNull() | p.getField("op").isNull())
 
-    after = p.getField("after")
-    before = p.getField("before")
     op = p.getField("op")
+    before = p.getField("before")
 
-    # P4: inner payload unwrap — after.payload may be string-encoded JSON
-    # (or an object rendered back to JSON text by the StringType reader).
-    inner = F.from_json(after.getField("payload"), ENVELOPE_SCHEMA["payload"].dataType["after"].dataType)
+    # Scan 2: open `after` as map<string,string> — typed fields AND extras
+    # in one pass; scan 3 (conditional): string-encoded inner payload (P4).
+    df = df.withColumn("_after", F.from_json(p.getField("after"), _MAP_SS))
+    df = df.withColumn(
+        "_inner", F.from_json(F.element_at(F.col("_after"), "payload"), _MAP_SS)
+    )
+    after_map = F.col("_after")
+    inner_map = F.col("_inner")
 
     def eff(field: str) -> Column:
         # inner payload fields override flat after fields (sync.go:207-224)
-        return F.coalesce(inner.getField(field), after.getField(field))
+        return F.coalesce(
+            F.element_at(inner_map, field), F.element_at(after_map, field)
+        )
 
     # P5: key coercion + delete-key-from-before (sync.go:146-156)
     repo = F.when(op == "d", before.getField("repo")).otherwise(eff("repo"))
@@ -101,8 +154,6 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
 
     # Open-world extras: every after key (post-unwrap) outside the known
     # set, as map<string,string>. LAST_WIN concat => inner overrides flat.
-    after_map = F.from_json(F.get_json_object(F.col("value"), "$.payload.after"), _MAP_SS)
-    inner_map = F.from_json(F.element_at(after_map, "payload"), _MAP_SS)
     extras = F.map_filter(
         F.map_concat(
             F.coalesce(after_map, F.create_map().cast(_MAP_SS)),

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # extras merge (parse.py) concats flat + unwrapped maps; inner wins
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # LWW max_by is a TypedImperativeAggregate => ObjectHashAggregate;
+        # the default 128-key fallback degrades the partial combine to a
+        # sort over full-width rows. 64k keys * ~2KB row buffer stays well
+        # inside task memory.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # CDC batches are wide-but-short; don't let tiny files dominate

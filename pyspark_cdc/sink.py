@@ -140,15 +140,34 @@ class ParquetLake:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
 
-    def merge(self, deduped: DataFrame, batch_id) -> dict:
-        """Idempotent MERGE of one LWW-deduped batch (one row per key,
-        columns KEY_COLS + order.CARRY_COLS). Returns commit stats."""
+    def merge(self, changes: DataFrame, batch_id, input_persisted: bool = False) -> dict:
+        """Idempotent MERGE of one batch of change rows (columns KEY_COLS +
+        order.CARRY_COLS). The batch may contain MULTIPLE rows per key —
+        the merge aggregation's per-key max_by over union(target, batch)
+        resolves last-writer-wins inline (max is associative), so callers
+        need not pre-deduplicate. Returns commit stats.
+
+        input_persisted=True: the caller already holds `changes` (or its
+        lineage) resident; skip the internal persist. The merge runs two
+        actions over the batch (bucket/extras summary collect + the COW
+        rewrite), so unpersisted input would pay its compute twice.
+        """
+        from pyspark import StorageLevel
+
         meta = self.current_meta() or self._empty_meta()
         if batch_id in meta["batch_ids"]:
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
 
-        src = deduped.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+        src = changes.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+        if input_persisted:
+            return self._merge_impl(src, batch_id, meta)
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_impl(src, batch_id, meta)
+        finally:
+            src.unpersist()
 
+    def _merge_impl(self, src: DataFrame, batch_id, meta: dict) -> dict:
         # One scalable pass: touched buckets + observed open-world keys
         # (explode multiplies by ~#extras per row; hash-agg partial-combines
         # down to <= n_buckets * n_keys rows before the collect).
@@ -204,7 +223,14 @@ class ParquetLake:
 
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
-        merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+        # Re-hash on the bucket before the dynamic-partition write: AQE
+        # coalesces the post-agg exchange to a few fat partitions, and
+        # without this each writer task would fan out to ~all bucket dirs
+        # (few tasks x many open files). One task per touched bucket =
+        # full write parallelism and exactly one file per bucket.
+        merged.repartition(len(touched), F.col(BUCKET_COL)).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(out_dir)
 
         new_buckets = dict(meta["buckets"])
         written = {
