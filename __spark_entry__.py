@@ -39,7 +39,9 @@ def _engine_replay(spark: SparkSession, n_events: int) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="pyspark_cdc_entry_")
     log_dir = os.path.join(tmp, "log")
     generate.write_log(spark, log_dir, n_events=n_events, n_files=4, n_keys=300, seed=42)
-    lake = ParquetLake(spark, os.path.join(tmp, "lake"), n_buckets=16)
+    # MoR is the production merge strategy; entry() therefore exercises
+    # delta-append + read-time LWW under the driver's correctness gate.
+    lake = ParquetLake(spark, os.path.join(tmp, "lake"), n_buckets=16, mode="mor")
     replay_batch(spark, log_dir, lake)
     out = lake.read().orderBy("repo", "path")
     # materialize before the temp dir can be cleaned

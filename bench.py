@@ -81,7 +81,9 @@ def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
     walls = []
     n_rows = 0
     for run in (1, 2, 3):
-        lake = ParquetLake(spark, os.path.join(workdir, f"lake{run}"), n_buckets=64)
+        lake = ParquetLake(
+            spark, os.path.join(workdir, f"lake{run}"), n_buckets=64, mode="mor"
+        )
         t0 = time.monotonic()
         replay_batch(spark, log_dir, lake)
         n_rows = lake.read().count()

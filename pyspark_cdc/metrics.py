@@ -41,6 +41,17 @@ def batch_lineage(parsed: DataFrame, batch_id) -> DataFrame:
     ).withColumn("batch_id", F.lit(batch_id).cast("long"))
 
 
+LINEAGE_FIELDS = [
+    ("topic", "string"), ("partition", "int32"), ("n_records", "int64"),
+    ("n_ok", "int64"), ("n_upserts", "int64"), ("n_deletes", "int64"),
+    ("n_tombstone", "int64"), ("n_malformed", "int64"),
+    ("n_unknown_op", "int64"), ("n_missing_key", "int64"),
+    ("min_offset", "int64"), ("max_offset", "int64"),
+    ("min_lsn", "int64"), ("max_lsn", "int64"),
+    ("batch_id", "int64"), ("batch_wall_ms", "float64"),
+]
+
+
 class MetricsWriter:
     def __init__(self, metrics_dir: str | None):
         self.metrics_dir = metrics_dir
@@ -52,6 +63,30 @@ class MetricsWriter:
         if wall_ms is not None:
             lineage = lineage.withColumn("batch_wall_ms", F.lit(float(wall_ms)))
         lineage.write.mode("append").parquet(os.path.join(self.metrics_dir, "lineage"))
+
+    def write_rows(self, rows, batch_id, wall_ms: float | None = None) -> None:
+        """Driver-side append of pre-collected lineage rows (pyarrow, no
+        Spark job): lineage is a handful of rows per batch, so launching a
+        distributed write for it is pure fixed overhead on the hot loop."""
+        if not self.metrics_dir or not rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.metrics_dir, "lineage")
+        os.makedirs(out_dir, exist_ok=True)
+        cols = {}
+        for name, typ in LINEAGE_FIELDS:
+            if name == "batch_wall_ms":
+                vals = [float(wall_ms) if wall_ms is not None else None] * len(rows)
+            else:
+                vals = [r[name] for r in rows]
+            cols[name] = pa.array(vals, type=getattr(pa, typ)())
+        pq.write_table(
+            pa.table(cols),
+            os.path.join(out_dir, f"lineage-{batch_id}-{int(time.time() * 1000)}.parquet"),
+            compression="snappy",
+        )
 
 
 class Stopwatch:

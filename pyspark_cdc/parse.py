@@ -10,24 +10,24 @@ Output: one normalized row per record with
     __lsn, __tx_id, __ts_ms                              explicit ordering
     topic, partition, offset                             lineage
 
-Everything is native Spark SQL expressions (whole-stage codegen): from_json
+Everything is native Spark SQL expressions (JVM-side, no Python): from_json
 for the envelope (P1), trim-filter for tombstones (P2), op dispatch via
 CASE (P3), string-encoded inner-payload unwrap via a second from_json (P4,
 sync.go:207-217), key coercion via StringType parsing (P5, fmt.Sprint
 analog sync.go:227-235), is_delete truthiness (P7, sync.go:162-174).
 
 Parse-cost design (this is the per-row hot path of the whole engine):
-the row `value` JSON is scanned exactly TWICE for upserts — once for the
-envelope scaffolding with `after` left as a RAW JSON STRING (Spark's JSON
-reader renders any token, including a nested object, as its JSON text when
-the target field is StringType), and once to open that (smaller) `after`
-text as map<string,string>. All domain columns ARE strings (input_hint),
-so the map read gives both the typed fields and the open-world extras in
-one pass; numeric tokens render as their text = the reference's
-fmt.Sprint coercion (sync.go:227-231). The string-encoded inner payload
-(P4) adds a third, conditional scan of only the inner text. An earlier
-5-scan version (typed after struct + get_json_object + 2 map scans) was
-2.3x slower end-to-end.
+the row `value` JSON is scanned exactly ONCE for plain upserts — a single
+from_json whose schema types `after` as map<string,string>, so one
+Jackson pass yields the envelope scaffolding AND the open-world after
+image together. All domain columns ARE strings (input_hint), so the map
+gives both the typed fields and the extras; numeric/bool tokens render as
+their text = the reference's fmt.Sprint coercion (sync.go:227-231), and a
+nested object value renders as its JSON text. The string-encoded inner
+payload (P4) adds a second, conditional scan of only the inner text. An
+earlier 5-scan version (typed after struct + get_json_object + 2 map
+scans) was 2.3x slower end-to-end; the 2-scan intermediate (after as raw
+string + separate map scan) was ~35% slower than this.
 
 The soft-delete-via-update rule (an op=u event can MEAN delete,
 sync.go:69-76 / SURVEY.md section 3.2) is resolved HERE into effective_op,
@@ -47,8 +47,10 @@ _KNOWN_AFTER_KEYS = [*DOMAIN_COLS, "is_delete", "payload"]
 
 _MAP_SS = "map<string,string>"
 
-# Parse-side envelope: `after` kept as raw JSON text (single scan), `before`
-# typed to just the key columns a delete needs (sync.go:146-156).
+# Parse-side envelope: `after` typed as map<string,string> INSIDE the
+# envelope schema, so one Jackson scan of `value` yields scaffolding AND
+# the open-world after image together; `before` typed to just the key
+# columns a delete needs (sync.go:146-156).
 PARSE_ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField(
@@ -65,7 +67,9 @@ PARSE_ENVELOPE_SCHEMA = T.StructType(
                         ),
                         True,
                     ),
-                    T.StructField("after", T.StringType(), True),
+                    T.StructField(
+                        "after", T.MapType(T.StringType(), T.StringType()), True
+                    ),
                     T.StructField("op", T.StringType(), True),
                     T.StructField(
                         "source",
@@ -110,9 +114,10 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
     op = p.getField("op")
     before = p.getField("before")
 
-    # Scan 2: open `after` as map<string,string> — typed fields AND extras
-    # in one pass; scan 3 (conditional): string-encoded inner payload (P4).
-    df = df.withColumn("_after", F.from_json(p.getField("after"), _MAP_SS))
+    # `after` came out of scan 1 as map<string,string> (typed fields AND
+    # extras together); scan 2 (conditional, small): the string-encoded
+    # inner payload (P4). Map values render any JSON token as its text.
+    df = df.withColumn("_after", p.getField("after"))
     df = df.withColumn(
         "_inner", F.from_json(F.element_at(F.col("_after"), "payload"), _MAP_SS)
     )

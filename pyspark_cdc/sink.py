@@ -1,5 +1,5 @@
-"""Exactly-once MERGE sink: a bucketed, copy-on-write parquet lake with an
-Iceberg-style snapshot manifest.
+"""Exactly-once MERGE sink: a bucketed parquet lake with an Iceberg-style
+snapshot manifest and two merge strategies (COW and merge-on-read).
 
 Why not Iceberg itself: the sandbox has no Iceberg runtime jar (SURVEY.md
 section 7.3 risk #1), so this module implements the same contract —
@@ -7,12 +7,19 @@ section 7.3 risk #1), so this module implements the same contract —
 WHEN NOT MATCHED INSERT` (SURVEY.md S5/S6/J2/J3) — on plain parquet:
 
 * The table is hash-bucketed on the merge key: bucket =
-  pmod(xxhash64(repo, path), n_buckets). A MERGE reads and rewrites ONLY
-  the buckets its batch touches (copy-on-write at bucket granularity,
-  like Iceberg COW with bucket partition transform); untouched buckets
-  are carried forward by manifest reference. At 100 TB you'd raise
-  n_buckets so a bucket is a few GB — batch cost scales with batch key
-  spread, not table size.
+  pmod(xxhash64(repo, path), n_buckets). A COW MERGE reads and rewrites
+  ONLY the buckets its batch touches (copy-on-write at bucket
+  granularity, like Iceberg COW with bucket partition transform);
+  untouched buckets are carried forward by manifest reference. At 100 TB
+  you'd raise n_buckets so a bucket is a few GB — batch cost scales with
+  batch key spread, not table size.
+* mode='mor' (merge-on-read, the streaming default): a batch appends its
+  rows as bucket-partitioned DELTA files — no table read, no sort,
+  O(batch) per micro-batch (a 100 TB table cannot be rewritten per
+  micro-batch). LWW resolves at read (resolve_lww over base+deltas) and
+  at compaction, which runs the COW aggregation over everything once per
+  `compact_every` batches to bound read amplification — the Iceberg v2 /
+  Hudi / Paimon MoR design.
 * Each commit writes an immutable snapshot manifest (bucket -> data dir,
   applied batch ids, column list) and atomically swaps the `current`
   pointer (os.replace). A crash mid-merge leaves the old snapshot
@@ -59,15 +66,56 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(*KEY_COLS), F.lit(n_buckets))
 
 
+def resolve_lww(df: DataFrame) -> DataFrame:
+    """Per-key last-writer-wins over any mix of row versions: max_by of the
+    full row by (lsn, tx_id, ts_ms). Used by the COW merge aggregation and
+    by the MoR read path — max is associative, so resolving at write time,
+    at compaction, or at read time yields the identical winner."""
+    non_key = [c for c in df.columns if c not in KEY_COLS]
+    row = F.struct(*[F.col(c) for c in non_key])
+    ordk = F.struct(*[F.col(c) for c in ORD_COLS])
+    return (
+        df.groupBy(*KEY_COLS)
+        .agg(F.max_by(row, ordk).alias("_w"))
+        .select(*KEY_COLS, "_w.*")
+    )
+
+
 class ParquetLake:
     """Single-writer lake table. Metadata ops are driver-side file ops on a
     shared filesystem (local here; a real deployment swaps this layer for
-    an Iceberg/metastore catalog — the data plane is unchanged)."""
+    an Iceberg/metastore catalog — the data plane is unchanged).
 
-    def __init__(self, spark: SparkSession, table_dir: str, n_buckets: int = 32):
+    Two merge strategies (same manifest, same exactly-once contract):
+
+    * mode='cow' (copy-on-write): each batch unions with its touched base
+      buckets, resolves LWW, and rewrites those buckets. Read = plain scan.
+      Batch cost is O(touched table data) — right for low-rate tables and
+      for compaction.
+    * mode='mor' (merge-on-read, the streaming default): each batch writes
+      ONLY its own rows as bucket-partitioned delta files — no table read,
+      no sort; cost is O(batch) regardless of table size (a 100 TB table
+      cannot be rewritten per micro-batch). LWW resolves at read time
+      (resolve_lww over base+deltas) and at compaction, which runs the COW
+      path over everything once every `compact_every` batches to bound
+      read amplification. Iceberg v2 / Hudi / Paimon MoR is this design.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        n_buckets: int = 32,
+        mode: str = "cow",
+        compact_every: int = 10,
+    ):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown lake mode: {mode}")
         self.spark = spark
         self.table_dir = table_dir
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.compact_every = compact_every
         self._meta_dir = os.path.join(table_dir, "_meta")
         os.makedirs(self._meta_dir, exist_ok=True)
 
@@ -101,6 +149,7 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": [],
             "buckets": {},
+            "deltas": [],
             "batch_ids": [],
         }
 
@@ -140,7 +189,13 @@ class ParquetLake:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
 
-    def merge(self, changes: DataFrame, batch_id, input_persisted: bool = False) -> dict:
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id,
+        input_persisted: bool = False,
+        side_summary: DataFrame | None = None,
+    ) -> dict:
         """Idempotent MERGE of one batch of change rows (columns KEY_COLS +
         order.CARRY_COLS). The batch may contain MULTIPLE rows per key —
         the merge aggregation's per-key max_by over union(target, batch)
@@ -151,6 +206,12 @@ class ParquetLake:
         lineage) resident; skip the internal persist. The merge runs two
         actions over the batch (bucket/extras summary collect + the COW
         rewrite), so unpersisted input would pay its compute twice.
+
+        side_summary: optional small aggregate DataFrame (e.g. per-partition
+        lineage) to ride along in the merge's summary job — one Spark job
+        instead of two; its rows come back in stats["side_rows"]. Streaming
+        uses this so a micro-batch costs exactly TWO jobs (summary+lineage
+        collect, then the COW write).
         """
         from pyspark import StorageLevel
 
@@ -160,30 +221,46 @@ class ParquetLake:
 
         src = changes.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
         if input_persisted:
-            return self._merge_impl(src, batch_id, meta)
+            return self._merge_impl(src, batch_id, meta, side_summary)
         src = src.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            return self._merge_impl(src, batch_id, meta)
+            return self._merge_impl(src, batch_id, meta, side_summary)
         finally:
             src.unpersist()
 
-    def _merge_impl(self, src: DataFrame, batch_id, meta: dict) -> dict:
+    def _merge_impl(
+        self, src: DataFrame, batch_id, meta: dict, side_summary: DataFrame | None = None
+    ) -> dict:
+        import time as _time
+
+        t0 = _time.monotonic()
         # One scalable pass: touched buckets + observed open-world keys
         # (explode multiplies by ~#extras per row; hash-agg partial-combines
-        # down to <= n_buckets * n_keys rows before the collect).
-        summary = (
+        # down to <= n_buckets * n_keys rows before the collect). An optional
+        # caller aggregate (lineage) is unioned in so it shares the job.
+        summary_df = (
             src.select(BUCKET_COL, F.explode_outer(F.map_keys("extras")).alias("_k"))
             .groupBy(BUCKET_COL, "_k")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
+            .withColumn("_side", F.lit("merge"))
         )
+        if side_summary is not None:
+            summary_df = summary_df.unionByName(
+                side_summary.withColumn("_side", F.lit("side")),
+                allowMissingColumns=True,
+            )
+        rows = summary_df.collect()
+        summary = [r for r in rows if r["_side"] == "merge"]
+        side_rows = [r for r in rows if r["_side"] == "side"]
+        t_summary = _time.monotonic() - t0
         touched = sorted({r[BUCKET_COL] for r in summary})
         observed_keys = sorted({r["_k"] for r in summary if r["_k"] is not None})
         if not touched:
             new_meta = dict(meta, id=meta["id"] + 1, parent=meta["id"],
                             batch_ids=meta["batch_ids"] + [batch_id])
             self._commit_snapshot(new_meta)
-            return {"status": "empty_batch", "batch_id": batch_id}
+            return {"status": "empty_batch", "batch_id": batch_id,
+                    "side_rows": side_rows}
 
         # Additive schema evolution: union of stored and observed columns.
         extra_cols = list(meta["extra_columns"])
@@ -209,17 +286,36 @@ class ParquetLake:
                 c, F.when(F.col(DELETED_COL), F.lit(None).cast("string")).otherwise(F.col(c))
             )
 
+        stats = {
+            "status": "committed",
+            "batch_id": batch_id,
+            "touched_buckets": len(touched),
+            "new_columns": [k for k in observed_keys if k not in meta["extra_columns"]],
+            "summary_sec": round(t_summary, 3),
+            "side_rows": side_rows,
+        }
+        if self.mode == "mor":
+            new_meta = self._merge_mor(src_flat, touched, extra_cols, meta, batch_id, stats)
+        else:
+            new_meta = self._merge_cow(src_flat, touched, extra_cols, meta, batch_id, stats)
+        stats["snapshot"] = new_meta["id"]
+        return stats
+
+    def _merge_cow(
+        self, src_flat: DataFrame, touched, extra_cols, meta: dict, batch_id, stats: dict
+    ) -> dict:
+        """Union touched base buckets with the batch, resolve LWW, rewrite
+        those buckets."""
+        import time as _time
+
+        if meta.get("deltas"):
+            # COW over a table with pending MoR deltas: fold them into the
+            # base first so the bucket rewrite below sees every version.
+            meta = self._compact(meta)
+
         tgt = self._read_buckets(meta, touched, extra_cols)
         tgt = tgt.unionByName(src_flat, allowMissingColumns=True)
-
-        non_key = [c for c in src_flat.columns if c not in KEY_COLS]
-        row = F.struct(*[F.col(c) for c in non_key])
-        ordk = F.struct(*[F.col(c) for c in ORD_COLS])
-        merged = (
-            tgt.groupBy(*KEY_COLS)
-            .agg(F.max_by(row, ordk).alias("_w"))
-            .select(*KEY_COLS, "_w.*")
-        )
+        merged = resolve_lww(tgt)
 
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
@@ -228,9 +324,11 @@ class ParquetLake:
         # without this each writer task would fan out to ~all bucket dirs
         # (few tasks x many open files). One task per touched bucket =
         # full write parallelism and exactly one file per bucket.
+        t0 = _time.monotonic()
         merged.repartition(len(touched), F.col(BUCKET_COL)).write.partitionBy(
             BUCKET_COL
         ).mode("overwrite").parquet(out_dir)
+        stats["write_sec"] = round(_time.monotonic() - t0, 3)
 
         new_buckets = dict(meta["buckets"])
         written = {
@@ -250,34 +348,125 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": new_buckets,
+            "deltas": meta.get("deltas", []),
             "batch_ids": meta["batch_ids"] + [batch_id],
         }
         self._commit_snapshot(new_meta)
-        return {
-            "status": "committed",
-            "batch_id": batch_id,
-            "snapshot": new_meta["id"],
-            "touched_buckets": len(touched),
-            "new_columns": [k for k in observed_keys if k not in meta["extra_columns"]],
+        return new_meta
+
+    def _merge_mor(
+        self, src_flat: DataFrame, touched, extra_cols, meta: dict, batch_id, stats: dict
+    ) -> dict:
+        """Append the batch as bucket-partitioned delta files — O(batch),
+        no table read, no sort. LWW resolves at read/compaction; compaction
+        (the COW aggregation over base + all deltas) runs every
+        `compact_every` batches to bound read amplification."""
+        import time as _time
+
+        data_rel = os.path.join("data", f"d{meta['id'] + 1}")
+        out_dir = os.path.join(self.table_dir, data_rel)
+        t0 = _time.monotonic()
+        src_flat.repartition(len(touched), F.col(BUCKET_COL)).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(out_dir)
+        stats["write_sec"] = round(_time.monotonic() - t0, 3)
+
+        new_meta = {
+            "id": meta["id"] + 1,
+            "parent": meta["id"],
+            "n_buckets": self.n_buckets,
+            "extra_columns": extra_cols,
+            "buckets": dict(meta["buckets"]),
+            "deltas": meta.get("deltas", []) + [data_rel],
+            "batch_ids": meta["batch_ids"] + [batch_id],
         }
+        self._commit_snapshot(new_meta)  # batch durable before compaction
+
+        if len(new_meta["deltas"]) >= self.compact_every:
+            t0 = _time.monotonic()
+            new_meta = self._compact(new_meta)
+            stats["compact_sec"] = round(_time.monotonic() - t0, 3)
+        return new_meta
+
+    def _compact(self, meta: dict) -> dict:
+        """Fold all deltas into the base: LWW over base+deltas, rewrite
+        every bucket, drop the delta list. Tombstones are RETAINED in the
+        base (they guard late-replayed older upserts); a retention policy
+        tied to the source's replay horizon would expire them here."""
+        extra_cols = list(meta["extra_columns"])
+        full = self._read_all(meta, extra_cols)
+        merged = resolve_lww(full.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)))
+
+        data_rel = os.path.join("data", f"s{meta['id'] + 1}")
+        out_dir = os.path.join(self.table_dir, data_rel)
+        merged.repartition(self.n_buckets, F.col(BUCKET_COL)).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(out_dir)
+
+        new_buckets = {
+            d.split("=", 1)[1]: os.path.join(data_rel, d)
+            for d in os.listdir(out_dir)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+        new_meta = {
+            "id": meta["id"] + 1,
+            "parent": meta["id"],
+            "n_buckets": self.n_buckets,
+            "extra_columns": extra_cols,
+            "buckets": new_buckets,
+            "deltas": [],
+            "batch_ids": meta["batch_ids"],
+        }
+        self._commit_snapshot(new_meta)
+        return new_meta
+
+    def _read_all(self, meta: dict, extra_cols: list[str]) -> DataFrame:
+        """All row versions (base + deltas), bucket column dropped, extra
+        columns normalized. Base bucket paths are partition LEAF dirs while
+        delta paths are partitioned ROOTS, so they are read separately
+        (mixing both in one load trips partition discovery)."""
+        base_paths = [os.path.join(self.table_dir, p) for p in meta["buckets"].values()]
+        delta_paths = [os.path.join(self.table_dir, p) for p in meta.get("deltas", [])]
+        parts = []
+        if base_paths:
+            parts.append(self.spark.read.option("mergeSchema", "true").parquet(*base_paths))
+        # each delta is its own partitioned root — read separately (several
+        # partitioned roots in one load trip partition discovery)
+        for dp in delta_paths:
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(dp).drop(BUCKET_COL)
+            )
+        if not parts:
+            return self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        for c in extra_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df
 
     # ---------------- read path ----------------
 
     def read(self, include_deleted: bool = False, include_internal: bool = False) -> DataFrame:
         meta = self.current_meta()
         extra_cols = list(meta["extra_columns"]) if meta else []
-        if not meta or not meta["buckets"]:
+        if not meta or (not meta["buckets"] and not meta.get("deltas")):
             df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         else:
-            paths = [os.path.join(self.table_dir, p) for p in meta["buckets"].values()]
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            for c in extra_cols:
-                if c not in df.columns:
-                    df = df.withColumn(c, F.lit(None).cast("string"))
+            df = self._read_all(meta, extra_cols)
+            if meta.get("deltas"):
+                # merge-on-read: several versions of a key may coexist
+                # across base + deltas until compaction; resolve LWW here.
+                df = resolve_lww(df)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_internal:
-            df = df.drop(*INTERNAL, BUCKET_COL)
+            df = df.drop(*INTERNAL)
         return df
 
     def destroy(self) -> None:

@@ -58,19 +58,25 @@ def process_batch(
     from .order import CARRY_COLS
     from .schemas import KEY_COLS
 
+    from .metrics import batch_lineage
+
     parsed = parse_envelopes(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # Lineage rides along in the merge's summary job (side_summary) and
+        # is written driver-side afterwards — a micro-batch costs exactly
+        # TWO Spark jobs: (summary+lineage collect) and (COW agg+write).
+        side = batch_lineage(parsed, batch_id) if metrics and metrics.metrics_dir else None
         with Stopwatch() as sw:
             if lww_method == "fused":
                 src = parsed.filter(F.col("status") == "ok").select(
                     *KEY_COLS, *CARRY_COLS
                 )
-                stats = lake.merge(src, batch_id, input_persisted=True)
+                stats = lake.merge(src, batch_id, input_persisted=True, side_summary=side)
             else:
                 deduped = lww(parsed, method=lww_method)
-                stats = lake.merge(deduped, batch_id)
+                stats = lake.merge(deduped, batch_id, side_summary=side)
         if metrics:
-            metrics.write(parsed, batch_id, wall_ms=sw.wall_ms)
+            metrics.write_rows(stats.get("side_rows"), batch_id, wall_ms=sw.wall_ms)
     finally:
         parsed.unpersist()
     return stats

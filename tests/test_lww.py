@@ -85,3 +85,37 @@ def test_lww_plan_has_partial_aggregate(spark):
     # partial_max_by BEFORE the exchange — the map-side combine that makes
     # hot keys ship one candidate per task instead of all their rows.
     assert "partial_max_by" in plan, plan
+
+
+def test_fused_merge_equals_explicit_lww_paths(spark, tmp_path):
+    """The fused path (LWW resolved inside the MERGE aggregation) must land
+    the same lake state as replay with an explicit pre-MERGE dedup stage,
+    for every lww method, on a log with duplicates/out-of-order/tx ties."""
+    import random as _random
+
+    from pyspark_cdc.sink import ParquetLake
+    from pyspark_cdc.stream import replay_batch
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+
+    rnd = _random.Random(11)
+    events = [_env("r", f"p{k}", lsn) for k in range(25) for lsn in range(1, 9)]
+    events += [_env("r", "p3", 8, tx=1), _env("r", "p3", 8, tx=2)]  # tx tie
+    events += events[:30]  # duplicate replay slice
+    rnd.shuffle(events)
+    recs = [
+        {"key": None, "value": v, "topic": "t", "partition": 0, "offset": i}
+        for i, v in enumerate(events)
+    ]
+    log_dir = str(tmp_path / "log")
+    spark.createDataFrame(recs, schema=KAFKA_SHAPE).repartition(4).write.parquet(log_dir)
+
+    states = {}
+    for method in ("fused", "aggregate", "window"):
+        lake = ParquetLake(spark, str(tmp_path / f"lake_{method}"), n_buckets=8)
+        replay_batch(spark, log_dir, lake, lww_method=method)
+        states[method] = {
+            (r["repo"], r["path"]): (r["content"], r["commit"])
+            for r in lake.read().collect()
+        }
+    assert states["fused"] == states["aggregate"] == states["window"]
+    assert states["fused"][("r", "p3")][0] is not None

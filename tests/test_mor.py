@@ -1,0 +1,112 @@
+"""Merge-on-read lake mode: delta-append merges, read-time LWW, periodic
+compaction — final state must equal the COW lake and the pure-Python
+oracle on the same log (max_by is associative, so WHERE the LWW resolves
+cannot change the winner)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark_cdc import generate
+from pyspark_cdc.oracle import replay
+from pyspark_cdc.sink import ParquetLake
+from pyspark_cdc.stream import replay_batch, replay_stream
+
+
+def _rows(lake):
+    return {
+        (r["repo"], r["path"]): r.asDict() for r in lake.read().collect()
+    }
+
+
+def _write_log(spark, tmp_path, n=3_000, files=6):
+    log_dir = str(tmp_path / "log")
+    generate.write_log(spark, log_dir, n_events=n, n_keys=300, n_files=files, seed=42)
+    return log_dir
+
+
+def test_mor_equals_cow_and_oracle(spark, tmp_path):
+    log_dir = _write_log(spark, tmp_path)
+
+    cow = ParquetLake(spark, str(tmp_path / "cow"), n_buckets=16, mode="cow")
+    replay_batch(spark, log_dir, cow)
+
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=16, mode="mor")
+    replay_batch(spark, log_dir, mor)
+
+    assert _rows(cow) == _rows(mor)
+
+    # oracle parity (content only; dict replay of reference semantics)
+    recs = [r.asDict() for r in spark.read.parquet(log_dir).collect()]
+    recs.sort(key=lambda r: (r["offset"], r["partition"]))
+    oracle = replay(recs)["state"]
+    got = _rows(mor)
+    assert set(got) == set(oracle)
+    for k, exp in oracle.items():
+        assert got[k].get("content") == exp.get("content"), k
+
+
+def test_mor_streaming_compacts_and_stays_correct(spark, tmp_path):
+    log_dir = _write_log(spark, tmp_path, n=4_000, files=8)
+    mor = ParquetLake(
+        spark, str(tmp_path / "mor"), n_buckets=16, mode="mor", compact_every=3
+    )
+    q = replay_stream(
+        spark, log_dir, mor, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    meta = mor.current_meta()
+    # 8 batches with compact_every=3 => at least two compactions happened
+    # and pending deltas are below the threshold
+    assert len(meta["deltas"]) < 3
+    assert len(mor.applied_batch_ids()) == 8
+
+    cow = ParquetLake(spark, str(tmp_path / "cow"), n_buckets=16, mode="cow")
+    replay_batch(spark, log_dir, cow)
+    assert _rows(cow) == _rows(mor)
+
+
+def test_mor_duplicate_batch_is_noop(spark, tmp_path):
+    log_dir = _write_log(spark, tmp_path, n=1_000, files=2)
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=8, mode="mor")
+    s1 = replay_batch(spark, log_dir, mor, batch_id=7)
+    before = _rows(mor)
+    s2 = replay_batch(spark, log_dir, mor, batch_id=7)
+    assert s2["status"] == "skipped_duplicate_batch"
+    assert _rows(mor) == before
+    assert s1["status"] == "committed"
+
+
+def test_mor_late_older_upsert_loses_to_tombstone(spark, tmp_path):
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+
+    def rec(value, off):
+        return {"key": None, "value": value, "topic": "t", "partition": 0, "offset": off}
+
+    def env(op, after=None, before=None, lsn=0):
+        p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn}}
+        if after is not None:
+            p["after"] = after
+        if before is not None:
+            p["before"] = before
+        return json.dumps({"payload": p})
+
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor")
+    row = {"repo": "r", "path": "p", "commit": "c", "lang": "py", "content": "v1"}
+
+    from pyspark_cdc.stream import process_batch
+
+    b1 = spark.createDataFrame(
+        [rec(env("c", after=row, lsn=1), 1), rec(env("d", before={"repo": "r", "path": "p"}, lsn=5), 2)],
+        schema=KAFKA_SHAPE,
+    )
+    process_batch(b1, 0, mor)
+    # late replay of an OLDER upsert (lsn 3 < tombstone lsn 5) in a new batch
+    b2 = spark.createDataFrame(
+        [rec(env("u", after=dict(row, content="v3"), lsn=3), 3)], schema=KAFKA_SHAPE
+    )
+    process_batch(b2, 1, mor)
+    assert _rows(mor) == {}  # tombstone still wins at read time
