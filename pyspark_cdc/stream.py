@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .metrics import MetricsWriter, Stopwatch
 from .order import lww
 from .parse import parse_envelopes
-from .schemas import KAFKA_SHAPE
 from .sink import ParquetLake
+from .sources import file_batch, file_stream
 
 
 def process_batch(
@@ -91,7 +91,7 @@ def replay_batch(
     lww_method: str = "fused",
 ) -> dict:
     """One-shot batch replay of a whole event log (bench + tests)."""
-    raw = spark.read.schema(KAFKA_SHAPE).parquet(log_dir)
+    raw = file_batch(spark, log_dir)
     return process_batch(raw, batch_id, lake, MetricsWriter(metrics_dir), lww_method)
 
 
@@ -106,10 +106,7 @@ def replay_stream(
 ):
     """Checkpointed streaming replay; trigger(availableNow) drains the log
     and stops — restart with the same checkpoint_dir to resume."""
-    reader = spark.readStream.schema(KAFKA_SHAPE)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(log_dir)
+    raw = file_stream(spark, log_dir, max_files_per_trigger)
 
     metrics = MetricsWriter(metrics_dir)
 
