@@ -148,7 +148,7 @@ def cdc_payload_unwrap(spark, sf_dir):
 
 SQL_PAYLOAD_UNWRAP = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type
 """

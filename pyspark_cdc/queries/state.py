@@ -114,13 +114,21 @@ WHERE text LIKE '%vector%' OR text LIKE '%stream%'
 
 
 # Q7+Q8: multi-key sort with offset/limit pagination (page 2 of 20, total
-# ordering via unique tiebreak)
+# ordering via unique tiebreak). Scale shape: page offset+limit rows via
+# orderBy().limit() — Catalyst compiles that to TakeOrderedAndProject
+# (per-partition partial top-K, no global sort, no single-task window) —
+# then rank WITHIN the 40-row page, which is driver-trivial at any scale.
 def q7_sort_paginate(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
+    page = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(40)
+        .select("o_orderkey", "o_totalprice")
+    )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        page.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 20)
         .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
     )
 

@@ -34,6 +34,7 @@ def kafka_stream(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     min_partitions: int | None = None,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """Kafka Debezium-topic stream in KAFKA_SHAPE (S1/S3).
 
@@ -46,9 +47,14 @@ def kafka_stream(
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
-        # poison pills are handled as data (dead-letter counts), never
-        # as stream failures (sync.go:44-47)
-        .option("failOnDataLoss", "false")
+        # failOnDataLoss=true by default: offsets lost to retention/topic
+        # deletion are DROPPED EVENTS, which would silently break the
+        # exactly-once/final-state-equality contract. Poison pills are a
+        # different thing — they arrive as data and are classified into
+        # dead-letter counts at parse time (sync.go:44-47), so they never
+        # need this switch. Set fail_on_data_loss=False only when a
+        # retention gap is an accepted, monitored condition.
+        .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
