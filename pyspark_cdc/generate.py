@@ -221,6 +221,124 @@ def edge_case_events() -> list[dict]:
     # after with missing repo/path: missing-key dead letter  [sync.go:142-145]
     add(_env("c", {"commit": "beef", "content": "orphan"}, lsn=27), None, 27)
 
+    # 17. doc sub-map fallback (sync.go:219-220): no payload key, the
+    # `doc` object IS the document; keys fall back to the flat image
+    add(
+        _env(
+            "c",
+            {
+                "repo": "edge/r16",
+                "path": "p.rs",
+                "doc": {
+                    "commit": f"{28:040d}",
+                    "lang": "rs",
+                    "content": "content of edge/r16/p.rs v28",
+                },
+            },
+            lsn=28,
+        ),
+        k("edge/r16", "p.rs"),
+        28,
+    )
+
+    # 18. unparseable string payload => the RECORD is skipped
+    # (sync.go:208-210): the earlier good version must survive the
+    # higher-lsn bad event
+    add(_env("c", _after("edge/r17", "q.py", 29), lsn=29), k("edge/r17", "q.py"), 29)
+    add(
+        _env(
+            "u",
+            {"repo": "edge/r17", "path": "q.py", "payload": "{not json"},
+            lsn=30,
+        ),
+        k("edge/r17", "q.py"),
+        30,
+    )
+
+    # 19. payload REPLACES the flat image (sync.go:204-217): flat content
+    # and flat extras must NOT leak into the unwrapped doc
+    add(
+        _env(
+            "u",
+            {
+                "repo": "edge/r18",
+                "path": "r.go",
+                "content": "flat-should-drop",
+                "flat_extra": "should-drop",
+                "payload": json.dumps(
+                    {
+                        "commit": f"{31:040d}",
+                        "lang": "go",
+                        "content": "content of edge/r18/r.go v31",
+                    }
+                ),
+            },
+            lsn=31,
+        ),
+        k("edge/r18", "r.go"),
+        31,
+    )
+
+    # 20. payload as an inline JSON object, not a string (sync.go:213)
+    add(
+        _env(
+            "c",
+            {
+                "repo": "edge/r19",
+                "path": "s.ts",
+                "payload": {
+                    "commit": f"{32:040d}",
+                    "lang": "ts",
+                    "content": "content of edge/r19/s.ts v32",
+                },
+            },
+            lsn=32,
+        ),
+        k("edge/r19", "s.ts"),
+        32,
+    )
+
+    # 21. flat is_delete overrides the inner one (sync.go:237-239): inner
+    # says delete, flat says "0" => the upsert stands
+    add(
+        _env(
+            "u",
+            {
+                "repo": "edge/r20",
+                "path": "t.py",
+                "is_delete": "0",
+                "payload": json.dumps(
+                    {
+                        "commit": f"{33:040d}",
+                        "lang": "py",
+                        "content": "content of edge/r20/t.py v33",
+                        "is_delete": "true",
+                    }
+                ),
+            },
+            lsn=33,
+        ),
+        k("edge/r20", "t.py"),
+        33,
+    )
+
+    # 22. inner-only is_delete still soft-deletes (base has no is_delete,
+    # doc's own value decides — sync.go:162-174 over the unwrapped doc)
+    add(_env("c", _after("edge/r21", "u.py", 34), lsn=34), k("edge/r21", "u.py"), 34)
+    add(
+        _env(
+            "u",
+            {
+                "repo": "edge/r21",
+                "path": "u.py",
+                "payload": json.dumps({"is_delete": "1"}),
+            },
+            lsn=35,
+        ),
+        k("edge/r21", "u.py"),
+        35,
+    )
+
     # 6. duplicate replay: lsn 1-3 repeated verbatim (at-least-once)
     ev.append(_rec(_env("c", _after("edge/r1", "a.py", 1), lsn=1), k("edge/r1", "a.py"), 1))
     ev.append(_rec(_env("u", _after("edge/r1", "a.py", 2), lsn=2), k("edge/r1", "a.py"), 2))

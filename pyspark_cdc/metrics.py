@@ -5,7 +5,7 @@ For every micro-batch we append one row per (topic, partition) to a
 parquet metrics table:
 
     batch_id, topic, partition, n_records, n_ok, n_upserts, n_deletes,
-    n_tombstone, n_malformed, n_unknown_op, n_missing_key,
+    n_tombstone, n_malformed, n_unknown_op, n_bad_payload, n_missing_key,
     min_offset, max_offset, min_lsn, max_lsn, batch_wall_ms
 
 The dead-letter taxonomy mirrors the reference's log-and-skip behavior
@@ -33,6 +33,7 @@ def batch_lineage(parsed: DataFrame, batch_id) -> DataFrame:
         F.sum((s == "tombstone").cast("long")).alias("n_tombstone"),
         F.sum((s == "malformed").cast("long")).alias("n_malformed"),
         F.sum((s == "unknown_op").cast("long")).alias("n_unknown_op"),
+        F.sum((s == "bad_payload").cast("long")).alias("n_bad_payload"),
         F.sum((s == "missing_key").cast("long")).alias("n_missing_key"),
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
@@ -45,7 +46,8 @@ LINEAGE_FIELDS = [
     ("topic", "string"), ("partition", "int32"), ("n_records", "int64"),
     ("n_ok", "int64"), ("n_upserts", "int64"), ("n_deletes", "int64"),
     ("n_tombstone", "int64"), ("n_malformed", "int64"),
-    ("n_unknown_op", "int64"), ("n_missing_key", "int64"),
+    ("n_unknown_op", "int64"), ("n_bad_payload", "int64"),
+    ("n_missing_key", "int64"),
     ("min_offset", "int64"), ("max_offset", "int64"),
     ("min_lsn", "int64"), ("max_lsn", "int64"),
     ("batch_id", "int64"), ("batch_wall_ms", "float64"),

@@ -40,6 +40,10 @@ def _coerce_str(v: Any) -> str | None:
         return "true" if v else "false"
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
+    if isinstance(v, (dict, list)):
+        # matches Spark's compact JSON rendering of nested tokens in a
+        # map<string,string> read
+        return json.dumps(v, separators=(",", ":"))
     return str(v)
 
 
@@ -49,24 +53,44 @@ def _truthy_delete(v: Any) -> bool:
     return isinstance(v, str) and v.lower() in ("true", "1")
 
 
-def extract_doc(after: dict) -> dict:
-    """sync.go:198-224: unwrap inner `payload` (string-encoded JSON or
-    object; anything else contributes nothing); inner fields override
-    flat fields."""
-    doc = {k: v for k, v in after.items() if k != "payload"}
+def extract_doc(after: dict) -> dict | None:
+    """sync.go:198-245 exactly. Returns None when the record must be
+    SKIPPED (string payload that fails to parse as a JSON object —
+    sync.go:208-210 returns an error and the consumer loop drops the
+    record).
+
+    Selection (sync.go:204-222): a present `payload` key REPLACES the flat
+    after image (string -> must parse to an object, object -> taken as-is,
+    any other type -> empty doc); else a `doc` sub-map is unwrapped; else
+    the flat after image is the doc. Carry-over (sync.go:226-245): the key
+    fields fall back to the flat image, and a flat `is_delete` overrides
+    the inner one."""
     if "payload" in after:
         p = after["payload"]
-        inner: dict = {}
         if isinstance(p, str):
             try:
                 parsed = json.loads(p)
-                if isinstance(parsed, dict):
-                    inner = parsed
             except (ValueError, TypeError):
-                inner = {}
+                return None
+            if not isinstance(parsed, dict):
+                return None
+            doc = dict(parsed)
         elif isinstance(p, dict):
-            inner = p
-        doc.update(inner)
+            doc = dict(p)
+        else:
+            doc = {}
+    elif isinstance(after.get("doc"), dict):
+        doc = dict(after["doc"])
+    else:
+        doc = dict(after)
+
+    # id-analog fallback: doc[key] else base[key] (sync.go:226-231)
+    for kf in ("repo", "path"):
+        if doc.get(kf) is None and after.get(kf) is not None:
+            doc[kf] = after[kf]
+    # flat is_delete overrides inner (sync.go:237-239)
+    if "is_delete" in after:
+        doc["is_delete"] = after["is_delete"]
     return doc
 
 
@@ -80,6 +104,7 @@ def replay(events: list[dict]) -> dict:
         "tombstone": 0,
         "malformed": 0,
         "unknown_op": 0,
+        "bad_payload": 0,
         "missing_key": 0,
         "upserts": 0,
         "deletes": 0,
@@ -120,6 +145,9 @@ def replay(events: list[dict]) -> dict:
                 counts["missing_key"] += 1
                 continue
             doc = extract_doc(after)
+            if doc is None:  # unparseable inner payload => skip (sync.go:208-210)
+                counts["bad_payload"] += 1
+                continue
             repo = _coerce_str(doc.get("repo"))
             path = _coerce_str(doc.get("path"))
             if not repo or not path:

@@ -2,7 +2,8 @@
 
 Input:  Kafka-shaped records (schemas.KAFKA_SHAPE).
 Output: one normalized row per record with
-    status        'ok' | 'tombstone' | 'malformed' | 'unknown_op' | 'missing_key'
+    status        'ok' | 'tombstone' | 'malformed' | 'unknown_op'
+                  | 'bad_payload' | 'missing_key'
     effective_op  'u' (upsert) | 'd' (delete)           for status='ok'
     repo, path    string-coerced primary key
     commit, lang, content                                domain columns
@@ -117,25 +118,76 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
     # `after` came out of scan 1 as map<string,string> (typed fields AND
     # extras together); scan 2 (conditional, small): the string-encoded
     # inner payload (P4). Map values render any JSON token as its text.
+    #
+    # Document selection mirrors sync.go:198-224 exactly:
+    #   * `payload` key present  -> the inner doc REPLACES the flat after
+    #     image (doc = inner; flat fields are NOT merged in). A string
+    #     payload that fails to parse as a JSON object is an ERROR and the
+    #     record is skipped (sync.go:208-210 -> status='bad_payload'); a
+    #     present-but-null payload contributes an empty doc (sync.go:216).
+    #   * else a `doc` sub-map   -> doc = after.doc (sync.go:219-220); a
+    #     non-object `doc` value falls through to doc = after, where it
+    #     remains an opaque extra field (Go type assertion fails).
+    #   * else                   -> doc = after (sync.go:221-222).
+    # Base carry-over after selection (sync.go:226-245): the key fields
+    # (the reference's `id`) fall back to the flat after image, and a flat
+    # `is_delete` OVERRIDES the inner one.
+    #
+    # Known engine-vs-reference divergence (unobservable in the map
+    # encoding, documented rather than faked): a payload value that is a
+    # non-string JSON scalar/array (e.g. 42, [1,2]) renders identically to
+    # the same text inside a string, so the engine classifies both as
+    # 'bad_payload' where Go gives the non-string forms an empty doc
+    # (sync.go:216-217). Neither shape occurs in real Debezium output.
     df = df.withColumn("_after", p.getField("after"))
     df = df.withColumn(
         "_inner", F.from_json(F.element_at(F.col("_after"), "payload"), _MAP_SS)
     )
+    df = df.withColumn(
+        "_docm", F.from_json(F.element_at(F.col("_after"), "doc"), _MAP_SS)
+    )
     after_map = F.col("_after")
     inner_map = F.col("_inner")
+    doc_map = F.col("_docm")
 
-    def eff(field: str) -> Column:
-        # inner payload fields override flat after fields (sync.go:207-224)
-        return F.coalesce(
-            F.element_at(inner_map, field), F.element_at(after_map, field)
+    empty_map = F.create_map().cast(_MAP_SS)
+    has_payload = after_map.isNotNull() & F.map_contains_key(after_map, "payload")
+    payload_val = F.element_at(after_map, "payload")
+    # payload present, non-null, but not a JSON object => reference error
+    # path (sync.go:208-210): skip the record as a dead letter.
+    bad_payload = (
+        op.isin("c", "r", "u")
+        & has_payload
+        & payload_val.isNotNull()
+        & inner_map.isNull()
+    )
+
+    # sync.go:204-222 selection; sel is the reference's `doc`.
+    sel = (
+        F.when(has_payload, F.coalesce(inner_map, empty_map))
+        .when(doc_map.isNotNull(), doc_map)
+        .otherwise(F.coalesce(after_map, empty_map))
+    )
+
+    def from_doc(field: str) -> Column:
+        return F.element_at(sel, field)
+
+    # P5: key coercion + delete-key-from-before (sync.go:146-156); upsert
+    # keys fall back from doc to the flat after image (sync.go:226-231).
+    def key_field(field: str) -> Column:
+        return F.when(op == "d", before.getField(field)).otherwise(
+            F.coalesce(from_doc(field), F.element_at(after_map, field))
         )
 
-    # P5: key coercion + delete-key-from-before (sync.go:146-156)
-    repo = F.when(op == "d", before.getField("repo")).otherwise(eff("repo"))
-    path = F.when(op == "d", before.getField("path")).otherwise(eff("path"))
+    repo = key_field("repo")
+    path = key_field("path")
 
-    # P7: is_delete truthiness
-    is_del = F.lower(F.coalesce(eff("is_delete"), F.lit("false"))).isin("true", "1")
+    # P7: is_delete truthiness; a flat after.is_delete overrides the inner
+    # one (sync.go:237-239 copies base's value into doc last).
+    is_del_raw = F.coalesce(
+        F.element_at(after_map, "is_delete"), from_doc("is_delete")
+    )
+    is_del = F.lower(F.coalesce(is_del_raw, F.lit("false"))).isin("true", "1")
 
     known_op = op.isin("c", "r", "u", "d")
     effective_op = F.when(op == "d", F.lit("d")).otherwise(
@@ -146,6 +198,7 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         ~is_tombstone
         & ~is_malformed
         & known_op
+        & ~bad_payload
         & (repo.isNull() | (repo == "") | path.isNull() | (path == ""))
     )
 
@@ -153,28 +206,25 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         F.when(is_tombstone, F.lit("tombstone"))
         .when(is_malformed, F.lit("malformed"))
         .when(~known_op, F.lit("unknown_op"))
+        .when(bad_payload, F.lit("bad_payload"))
         .when(missing_key, F.lit("missing_key"))
         .otherwise(F.lit("ok"))
     )
 
-    # Open-world extras: every after key (post-unwrap) outside the known
-    # set, as map<string,string>. LAST_WIN concat => inner overrides flat.
-    extras = F.map_filter(
-        F.map_concat(
-            F.coalesce(after_map, F.create_map().cast(_MAP_SS)),
-            F.coalesce(inner_map, F.create_map().cast(_MAP_SS)),
-        ),
-        lambda k, _: _not_known(k),
-    )
+    # Open-world extras: every key of the SELECTED doc outside the known
+    # set (replace semantics — flat extras are dropped when an inner
+    # payload/doc was unwrapped, exactly as the reference's doc is the
+    # inner map alone, sync.go:204-222).
+    extras = F.map_filter(sel, lambda k, _: _not_known(k))
 
     return df.select(
         status.alias("status"),
         F.when(status == "ok", effective_op).alias("effective_op"),
         repo.alias("repo"),
         path.alias("path"),
-        eff("commit").alias("commit"),
-        eff("lang").alias("lang"),
-        eff("content").alias("content"),
+        from_doc("commit").alias("commit"),
+        from_doc("lang").alias("lang"),
+        from_doc("content").alias("content"),
         F.when(status == "ok", extras).alias("extras"),
         F.coalesce(p.getField("source").getField("lsn"), F.lit(0)).alias(LSN_COL),
         F.coalesce(p.getField("transaction").getField("id"), F.lit(0)).alias(TX_COL),

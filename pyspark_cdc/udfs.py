@@ -39,19 +39,33 @@ def extract_doc_json(after_json: pd.Series) -> pd.Series:
             return None
         if not isinstance(after, dict):
             return None
-        doc = {k: v for k, v in after.items() if k != "payload"}
+        # sync.go:198-245: a present payload REPLACES the flat image
+        # (string must parse to an object, else the record is skipped =>
+        # None); else a doc sub-map unwraps; else doc = after. Key fields
+        # fall back to the flat image; flat is_delete overrides inner.
         if "payload" in after:
             p = after["payload"]
-            inner = {}
             if isinstance(p, str):
                 try:
                     q = json.loads(p)
-                    inner = q if isinstance(q, dict) else {}
                 except (ValueError, TypeError):
-                    inner = {}
+                    return None
+                if not isinstance(q, dict):
+                    return None
+                doc = dict(q)
             elif isinstance(p, dict):
-                inner = p
-            doc.update(inner)
+                doc = dict(p)
+            else:
+                doc = {}
+        elif isinstance(after.get("doc"), dict):
+            doc = dict(after["doc"])
+        else:
+            doc = dict(after)
+        for kf in ("repo", "path"):
+            if doc.get(kf) is None and after.get(kf) is not None:
+                doc[kf] = after[kf]
+        if "is_delete" in after:
+            doc["is_delete"] = after["is_delete"]
 
         def coerce(v):
             if v is None:

@@ -80,6 +80,13 @@ def test_every_edge_case_key_lands_correctly(spark, tmp_path):
     assert ("123", "456") in rows  # numeric key coercion
     assert rows[("edge/r13", "m.py")]["branch"] == "release/1"  # evolution
     assert rows[("edge/r15", "o.py")]["content"].endswith("v262")  # tx tie-break
+    assert rows[("edge/r16", "p.rs")]["lang"] == "rs"  # doc sub-map fallback
+    assert rows[("edge/r17", "q.py")]["content"].endswith("v29")  # bad payload skipped
+    assert rows[("edge/r18", "r.go")]["content"].endswith("v31")  # payload replaces flat
+    assert rows[("edge/r18", "r.go")].get("flat_extra") is None
+    assert rows[("edge/r19", "s.ts")]["lang"] == "ts"  # object payload
+    assert rows[("edge/r20", "t.py")]["content"].endswith("v33")  # flat is_delete=0 wins
+    assert ("edge/r21", "u.py") not in rows  # inner-only is_delete deletes
 
 
 def test_no_row_at_a_time_python_in_plans(spark, tmp_path):

@@ -109,13 +109,73 @@ def test_object_payload_unwrap(spark):
     assert (r["commit"], r["lang"]) == ("obj", "ts")
 
 
-def test_garbage_payload_contributes_nothing(spark):
-    # "anything else => empty doc" (sync.go:216-217)
+def test_payload_replaces_flat_image(spark):
+    # sync.go:204-217: the unwrapped doc REPLACES the flat after image —
+    # flat domain fields and flat extras do not leak through
+    inner = json.dumps({"commit": "abc", "lang": "go"})
     r = _parse_one(
-        spark, _env("c", {"repo": "a", "path": "b", "lang": "py", "payload": 42})
+        spark,
+        _env(
+            "c",
+            {"repo": "a", "path": "b", "content": "flat", "branch": "flat",
+             "payload": inner},
+        ),
     )
     assert r["status"] == "ok"
-    assert r["lang"] == "py"
+    assert r["content"] is None  # not in the inner doc => gone
+    assert "branch" not in (r["extras"] or {})
+
+
+def test_unparseable_payload_is_dead_letter(spark):
+    # sync.go:208-210: a string payload that fails to parse as a JSON
+    # object errors out => the record is skipped (and counted)
+    for p in ("{not json", '"just a scalar"', "[1, 2]"):
+        r = _parse_one(
+            spark, _env("c", {"repo": "a", "path": "b", "lang": "py", "payload": p})
+        )
+        assert r["status"] == "bad_payload", p
+        assert r["effective_op"] is None
+
+
+def test_null_payload_empty_doc(spark):
+    # present-but-null payload => empty doc (sync.go:216-217 default
+    # branch); keys fall back to the flat image, other fields are gone
+    r = _parse_one(
+        spark, _env("c", {"repo": "a", "path": "b", "lang": "py", "payload": None})
+    )
+    assert r["status"] == "ok"
+    assert (r["repo"], r["path"]) == ("a", "b")
+    assert r["lang"] is None
+
+
+def test_doc_submap_fallback(spark):
+    # sync.go:219-220: no payload key + `doc` object => doc IS the document
+    r = _parse_one(
+        spark,
+        _env("c", {"repo": "a", "path": "b", "doc": {"commit": "dc", "lang": "rs"}}),
+    )
+    assert r["status"] == "ok"
+    assert (r["commit"], r["lang"]) == ("dc", "rs")
+    # a non-object `doc` value is NOT unwrapped (Go type assertion fails)
+    # => doc = after, and the opaque value remains an extra field
+    r = _parse_one(spark, _env("c", {"repo": "a", "path": "b", "doc": "opaque"}))
+    assert r["status"] == "ok"
+    assert r["extras"] == {"doc": "opaque"}
+
+
+def test_flat_is_delete_overrides_inner(spark):
+    # sync.go:237-239: base's is_delete is copied into the doc LAST
+    inner_del = json.dumps({"commit": "x", "is_delete": "true"})
+    r = _parse_one(
+        spark,
+        _env("u", {"repo": "a", "path": "b", "is_delete": "0", "payload": inner_del}),
+    )
+    assert (r["status"], r["effective_op"]) == ("ok", "u")
+    # inner-only is_delete still decides when the base has none
+    r = _parse_one(
+        spark, _env("u", {"repo": "a", "path": "b", "payload": inner_del})
+    )
+    assert (r["status"], r["effective_op"]) == ("ok", "d")
 
 
 def test_extras_capture_unknown_columns(spark):
@@ -126,12 +186,12 @@ def test_extras_capture_unknown_columns(spark):
     assert r["extras"] == {"branch": "release/1", "stars": "7"}
 
 
-def test_extras_inner_overrides_flat(spark):
+def test_extras_come_from_the_selected_doc(spark):
     inner = json.dumps({"branch": "inner"})
     r = _parse_one(
         spark, _env("c", {"repo": "a", "path": "b", "branch": "flat", "payload": inner})
     )
-    assert r["extras"]["branch"] == "inner"
+    assert r["extras"] == {"branch": "inner"}  # replace, not merge
 
 
 def test_ordering_metadata_materialized(spark):
@@ -145,4 +205,5 @@ def test_edge_case_log_statuses(spark):
     assert counts["tombstone"] == 2
     assert counts["malformed"] == 1
     assert counts["unknown_op"] == 1
+    assert counts["bad_payload"] == 1
     assert counts["missing_key"] == 1
