@@ -31,7 +31,23 @@ from pyspark.sql import functions as F
 
 from .schemas import KAFKA_SHAPE
 
-TOPIC = "cdc.public.repo_files"
+# Two Debezium topics (multi-topic fan-in, SURVEY.md S3). Routing is a
+# deterministic function of the record's repo — the analog of the
+# reference's per-record index identity `{app_name}_{collection}`
+# (sync.go:176-196): each repo belongs to exactly one route, so the
+# route can be carried through the MERGE as a sink identity column.
+TOPICS = ("cdc.public.repo_files", "cdc.public.repo_docs")
+TOPIC = TOPICS[0]
+
+
+def topic_for(repo) -> str:
+    """Deterministic repo -> topic routing, identical in Python (edge
+    cases + oracle checks), Spark (bulk generator), and DuckDB SQL:
+    even len(repo) -> TOPICS[0], odd -> TOPICS[1]."""
+    if repo is None:
+        return TOPICS[0]
+    return TOPICS[len(str(repo)) % 2]
+
 
 # lsn space: edge cases use 1..999; bulk starts at BULK_LSN_BASE.
 BULK_LSN_BASE = 1_000
@@ -49,10 +65,16 @@ def _env(op, after=None, before=None, lsn=None, tx=None, ts=None):
 
 
 def _rec(value, key=None, lsn=0, partition=0):
+    repo = None
+    if key:
+        try:
+            repo = json.loads(key).get("repo")
+        except (ValueError, TypeError):
+            repo = None
     return {
         "key": key,
         "value": value,
-        "topic": TOPIC,
+        "topic": topic_for(repo),
         "partition": partition,
         "offset": int(lsn),
     }
@@ -191,7 +213,7 @@ def edge_case_events() -> list[dict]:
              "content": "numeric-key row v23"},
             lsn=23,
         ),
-        None,
+        json.dumps({"repo": 123, "path": 456}),
         23,
     )
 
@@ -512,11 +534,15 @@ def bulk_events_df(
 
     key = F.to_json(F.struct(repo.alias("repo"), path.alias("path")))
     partition = (F.abs(F.xxhash64(repo, path)) % F.lit(n_partitions)).cast("int")
+    # topic_for(repo) as a native expression (multi-topic fan-in, S3)
+    topic = F.when(F.length(repo) % 2 == 0, F.lit(TOPICS[0])).otherwise(
+        F.lit(TOPICS[1])
+    )
 
     return df.select(
         key.alias("key"),
         value.alias("value"),
-        F.lit(TOPIC).alias("topic"),
+        topic.alias("topic"),
         partition.alias("partition"),
         lsn.alias("offset"),
     )

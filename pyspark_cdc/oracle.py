@@ -28,7 +28,7 @@ import hashlib
 import json
 from typing import Any
 
-KNOWN_NON_DOMAIN = {"is_delete", "payload"}
+KNOWN_NON_DOMAIN = {"is_delete", "payload", "route"}
 
 
 def _coerce_str(v: Any) -> str | None:
@@ -131,13 +131,14 @@ def replay(events: list[dict]) -> dict:
             (
                 (lsn, tx.get("id") or 0, src.get("ts_ms") or 0, rec.get("offset") or 0),
                 payload,
+                rec.get("topic"),
             )
         )
 
     parsed.sort(key=lambda t: t[0])
 
     state: dict[tuple[str, str], dict] = {}
-    for ordkey, payload in parsed:
+    for ordkey, payload, topic in parsed:
         op = payload["op"]
         if op in ("c", "r", "u"):
             after = payload.get("after")
@@ -163,6 +164,9 @@ def replay(events: list[dict]) -> dict:
                     if k not in KNOWN_NON_DOMAIN
                 }
                 row["repo"], row["path"] = repo, path
+                # routing identity of the winning event (index-identity
+                # analog, sync.go:176-196)
+                row["route"] = topic
                 state[(repo, path)] = row
                 counts["upserts"] += 1
         elif op == "d":

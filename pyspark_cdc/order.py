@@ -32,7 +32,7 @@ from .schemas import KEY_COLS, LSN_COL, TS_COL, TX_COL
 ORD_COLS = [LSN_COL, TX_COL, TS_COL]
 
 # Columns carried through LWW into the MERGE.
-CARRY_COLS = ["effective_op", "commit", "lang", "content", "extras", *ORD_COLS]
+CARRY_COLS = ["effective_op", "commit", "lang", "content", "extras", "route", *ORD_COLS]
 
 
 def _ok_only(parsed: DataFrame) -> DataFrame:

@@ -43,8 +43,10 @@ from pyspark.sql import types as T
 
 from .schemas import DOMAIN_COLS, LSN_COL, TS_COL, TX_COL
 
-# Keys of `after` that are NOT open-world extras.
-_KNOWN_AFTER_KEYS = [*DOMAIN_COLS, "is_delete", "payload"]
+# Keys of `after` that are NOT open-world extras. `route` is reserved:
+# it is the sink's routing-identity column (P8), so a payload field of
+# that name is dropped rather than allowed to collide.
+_KNOWN_AFTER_KEYS = [*DOMAIN_COLS, "is_delete", "payload", "route"]
 
 _MAP_SS = "map<string,string>"
 
@@ -226,6 +228,11 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         from_doc("lang").alias("lang"),
         from_doc("content").alias("content"),
         F.when(status == "ok", extras).alias("extras"),
+        # P8: routing identity — the reference resolves a per-record index
+        # {app_name}_{collection} (sync.go:176-196); here each source
+        # topic IS the route (one topic per source table in Debezium),
+        # materialized as a sink identity column carried through the MERGE.
+        F.col("topic").alias("route"),
         F.coalesce(p.getField("source").getField("lsn"), F.lit(0)).alias(LSN_COL),
         F.coalesce(p.getField("transaction").getField("id"), F.lit(0)).alias(TX_COL),
         F.coalesce(p.getField("source").getField("ts_ms"), F.lit(0)).alias(TS_COL),

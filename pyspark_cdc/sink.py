@@ -58,6 +58,12 @@ from pyspark.sql import types as T
 from .schemas import DELETED_COL, DOMAIN_COLS, KEY_COLS, LSN_COL, TS_COL, TX_COL
 
 BUCKET_COL = "__bucket"
+# Routing identity (SURVEY.md P8): the per-record index identity of the
+# reference ({app_name}_{collection}, sync.go:176-196) materialized as a
+# sink column; functionally determined by the key's repo (one route per
+# source table/topic), so carrying it as a value through the key-wise
+# MERGE is equivalent to keying by it.
+ROUTE_COL = "route"
 ORD_COLS = [LSN_COL, TX_COL, TS_COL]
 INTERNAL = [*ORD_COLS, DELETED_COL]
 
@@ -165,6 +171,7 @@ class ParquetLake:
 
     def _row_schema(self, extra_cols: list[str]) -> T.StructType:
         fields = [T.StructField(c, T.StringType(), True) for c in DOMAIN_COLS]
+        fields += [T.StructField(ROUTE_COL, T.StringType(), True)]
         fields += [T.StructField(c, T.StringType(), True) for c in extra_cols]
         fields += [
             T.StructField(LSN_COL, T.LongType(), True),
@@ -184,7 +191,7 @@ class ParquetLake:
         if not paths:
             return self.spark.createDataFrame([], self._row_schema(extra_cols))
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        for c in extra_cols:
+        for c in [ROUTE_COL, *extra_cols]:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
@@ -271,6 +278,7 @@ class ParquetLake:
         src_flat = src.select(
             *KEY_COLS,
             *[F.col(c) for c in DOMAIN_COLS if c not in KEY_COLS],
+            F.col(ROUTE_COL),
             *[F.element_at(F.col("extras"), k).alias(k) for k in extra_cols],
             F.col(LSN_COL),
             F.col(TX_COL),
@@ -443,7 +451,7 @@ class ParquetLake:
             df = df.unionByName(p, allowMissingColumns=True)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
-        for c in extra_cols:
+        for c in [ROUTE_COL, *extra_cols]:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df

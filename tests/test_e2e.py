@@ -89,6 +89,26 @@ def test_every_edge_case_key_lands_correctly(spark, tmp_path):
     assert ("edge/r21", "u.py") not in rows  # inner-only is_delete deletes
 
 
+def test_multi_topic_fanin_routes_materialized(spark, tmp_path):
+    """S3 multi-topic fan-in + P8 routing identity: a log spanning BOTH
+    topics replays through one pipeline, and the lake carries each row's
+    route (= its topic, the index-identity analog of sync.go:176-196)."""
+    log_dir = str(tmp_path / "log")
+    generate.write_log(spark, log_dir, n_events=1_000, n_files=2, n_keys=100, seed=7)
+    topics = {
+        r["topic"]
+        for r in spark.read.parquet(log_dir).select("topic").distinct().collect()
+    }
+    assert topics == set(generate.TOPICS)
+
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay_batch(spark, log_dir, lake)
+    rows = lake.read().select("repo", "route").collect()
+    assert {r["route"] for r in rows} == set(generate.TOPICS)
+    for r in rows:
+        assert r["route"] == generate.topic_for(r["repo"])
+
+
 def test_no_row_at_a_time_python_in_plans(spark, tmp_path):
     """input_hint: vectorized pandas/Arrow UDFs only — the physical plan of
     the hot path must contain no BatchEvalPython (row-wise Python) node;

@@ -119,7 +119,7 @@ def test_copy_on_write_reuses_untouched_buckets(spark, tmp_table):
 def test_empty_table_read(spark, tmp_table):
     lake = ParquetLake(spark, tmp_table, n_buckets=4)
     assert lake.read().count() == 0
-    assert set(lake.read().columns) == {"repo", "path", "commit", "lang", "content"}
+    assert set(lake.read().columns) == {"repo", "path", "commit", "lang", "content", "route"}
 
 
 def test_snapshot_files_are_immutable_history(spark, tmp_table):
