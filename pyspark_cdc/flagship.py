@@ -1,0 +1,47 @@
+"""Flagship engine replay over the pure-Python flagship log, shared by
+__spark_entry__.entry() and the driver-checkable cdc_engine_* queries.
+
+The lake is built ONCE per process into a kept tempdir and every caller
+gets the lazy lake.read() DataFrame — no driver-side collect of the
+final table (at real scale that collect is a driver OOM; the lake result
+must stay distributed)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pylog import ensure_flagship_log
+
+_CACHE: dict = {"lake_dir": None}
+
+
+def flagship_lake(spark: SparkSession):
+    from .sink import ParquetLake
+    from .stream import replay_batch
+
+    log_dir = ensure_flagship_log()
+    if _CACHE["lake_dir"] is None:
+        lake_root = tempfile.mkdtemp(prefix="pyspark_cdc_flagship_lake_")
+        lake = ParquetLake(
+            spark, os.path.join(lake_root, "lake"), n_buckets=16, mode="mor"
+        )
+        replay_batch(spark, log_dir, lake)
+        _CACHE["lake_dir"] = lake_root
+        return lake
+    from .sink import ParquetLake as PL
+
+    return PL(
+        spark, os.path.join(_CACHE["lake_dir"], "lake"), n_buckets=16, mode="mor"
+    )
+
+
+def flagship_replay(spark: SparkSession) -> DataFrame:
+    """Final table state after replaying the flagship log through
+    parse -> LWW -> bucketed MoR MERGE, with the per-row content sha256
+    invariant column (BASELINE.json input_hint)."""
+    out = flagship_lake(spark).read()
+    return out.withColumn("content_sha256", F.sha2(F.col("content"), 256))

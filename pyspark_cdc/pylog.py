@@ -1,0 +1,159 @@
+"""Pure-Python deterministic flagship event log (no Spark required).
+
+The driver's CORRECTNESS gate runs the Spark query AND the DuckDB oracle
+SQL as two independent programs; for the flagship engine replay both must
+read the SAME event log. This module materializes that log with pyarrow
+alone, so `oracle_sql()` can guarantee its existence without a
+SparkSession, and the oracle SQL references it via read_parquet() at a
+content-versioned path (bump FLAGSHIP_VERSION when the generated content
+changes shape).
+
+The log = generate.edge_case_events() (every FIXTURES.md F3 case) plus a
+seeded bulk tail with the same event mix as generate.bulk_events_df
+(hard/soft deletes, unknown ops, malformed JSON, tombstones,
+string-encoded payloads, snapshot reads, hot-key skew, mid-log additive
+schema evolution, two topics) — derived from md5(seed|salt|i) so the
+bytes are identical across processes and Python versions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from .generate import BULK_LSN_BASE, _after, _env, _rec, edge_case_events, topic_for
+
+FLAGSHIP_VERSION = 1
+FLAGSHIP_N_EVENTS = 8_000
+FLAGSHIP_N_KEYS = 500
+FLAGSHIP_SEED = 11
+FLAGSHIP_DIR = f"/tmp/pyspark_cdc_flagship_log_v{FLAGSHIP_VERSION}"
+
+_HOT_REPO = "org0/hot-repo"
+
+
+def _h(i: int, salt: str) -> int:
+    return int(
+        hashlib.md5(f"{FLAGSHIP_SEED}|{salt}|{i}".encode()).hexdigest()[:15], 16
+    )
+
+
+def bulk_events_py(
+    n_events: int = FLAGSHIP_N_EVENTS,
+    n_keys: int = FLAGSHIP_N_KEYS,
+    hot_pct: int = 30,
+    n_repos: int = 50,
+    evolve_after_frac: float = 0.6,
+) -> list[dict]:
+    """Pure-Python analog of generate.bulk_events_df (same event mix, its
+    own seed/values — the two logs need not be byte-identical, only
+    semantically shaped alike)."""
+    out = []
+    evolve_at = int(n_events * evolve_after_frac)
+    for i in range(n_events):
+        lsn = BULK_LSN_BASE + i
+        is_hot = _h(i, "hot") % 100 < hot_pct
+        if is_hot:
+            key_id = _h(i, "hk") % max(1, n_keys // 20)
+            repo = _HOT_REPO
+        else:
+            key_id = _h(i, "ck") % n_keys
+            repo = f"org{key_id % n_repos}/proj"
+        path = f"src/pkg{key_id % 37}/file{key_id}{'_hot' if is_hot else ''}.py"
+
+        r = _h(i, "op") % 1000
+        md = hashlib.md5(f"{repo}|{path}|{lsn}".encode()).hexdigest()
+        commit = (md + md)[:40]
+        lang = ["py", "go", "ts", "md", "sql"][key_id % 5]
+        content = f"file {path} of {repo} v{lsn} " + md * 8
+        branch = f"release/{_h(i, 'br') % 5}" if i >= evolve_at else None
+
+        key = json.dumps({"repo": repo, "path": path})
+        if r < 20:  # hard delete
+            value = _env("d", before={"repo": repo, "path": path}, lsn=lsn, tx=lsn)
+        elif r < 50:  # soft delete via update
+            after = _after(repo, path, lsn, is_delete=["true", "1"][_h(i, "dv") % 2])
+            if branch:
+                after["branch"] = branch
+            value = _env("u", after, lsn=lsn, tx=lsn)
+        elif r < 53:  # unknown op
+            value = _env("x", _after(repo, path, lsn), lsn=lsn, tx=lsn)
+        elif r < 56:  # malformed JSON
+            value = '{"payload": {broken'
+        elif r < 59:  # tombstone
+            value = "" if _h(i, "tb") % 2 == 0 else "null"
+        elif r < 99:  # string-encoded inner payload (replaces the flat image)
+            inner = json.dumps({"commit": commit, "lang": lang, "content": content})
+            after = {"repo": repo, "path": path, "payload": inner}
+            if branch:
+                # flat extra next to a payload — must be DROPPED by the
+                # replace semantics (sync.go:204-217)
+                after["branch"] = branch
+            value = _env("u", after, lsn=lsn, tx=lsn)
+        else:  # snapshot read or plain create/update
+            op = "r" if r < 149 else ("c" if i % 7 == 0 else "u")
+            after = {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": lang,
+                "content": content,
+            }
+            if branch:
+                after["branch"] = branch
+            value = _env(op, after, lsn=lsn, tx=lsn)
+
+        rec = _rec(value, key=key, lsn=lsn, partition=_h(i, "pt") % 8)
+        rec["topic"] = topic_for(repo)
+        out.append(rec)
+    return out
+
+
+def flagship_events() -> list[dict]:
+    return edge_case_events() + bulk_events_py()
+
+
+def ensure_flagship_log(base_dir: str = FLAGSHIP_DIR, n_files: int = 4) -> str:
+    """Idempotently materialize the flagship log as parquet; atomic via
+    write-to-temp + rename, so concurrent callers are safe."""
+    marker = os.path.join(base_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return base_dir
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    events = flagship_events()
+    tmp = f"{base_dir}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("value", pa.string()),
+            ("topic", pa.string()),
+            ("partition", pa.int32()),
+            ("offset", pa.int64()),
+        ]
+    )
+    chunk = (len(events) + n_files - 1) // n_files
+    for f in range(n_files):
+        part = events[f * chunk : (f + 1) * chunk]
+        cols = {
+            name: [e[name] for e in part]
+            for name in ("key", "value", "topic", "partition", "offset")
+        }
+        table = pa.table(
+            {n: pa.array(cols[n], type=schema.field(n).type) for n in cols},
+        )
+        pq.write_table(table, os.path.join(tmp, f"part-{f:03d}.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write(f"{len(events)}\n")
+    try:
+        os.rename(tmp, base_dir)
+    except OSError:
+        # another process won the race; use theirs
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base_dir

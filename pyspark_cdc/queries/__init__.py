@@ -17,7 +17,7 @@ Conventions that make the value-hash compare deterministic:
 
 from __future__ import annotations
 
-from . import cdc, dedup, multimodal, similarity, state, text
+from . import cdc, dedup, engine, multimodal, similarity, state, text
 
 
 def load(spark, sf_dir: str, name: str):
@@ -25,7 +25,7 @@ def load(spark, sf_dir: str, name: str):
 
 
 REGISTRY: dict = {}
-for mod in (cdc, state, dedup, similarity, text, multimodal):
+for mod in (cdc, engine, state, dedup, similarity, text, multimodal):
     REGISTRY.update(mod.QUERIES)
 
 

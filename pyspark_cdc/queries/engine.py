@@ -1,0 +1,204 @@
+"""Driver-checkable queries over the FLAGSHIP engine replay itself.
+
+These close the round-1 gap where the actual parse -> LWW -> MERGE engine
+had no independent oracle: both sides read the same pure-Python parquet
+log (pylog.ensure_flagship_log), the Spark side runs the real engine, and
+the DuckDB side replays the reference semantics (sync.go:123-248) in SQL:
+tombstone/malformed filtering, document selection with payload-replace +
+doc-fallback + bad-payload skip, key fallback, is_delete truthiness with
+flat-over-inner override, explicit (lsn, tx, ts, offset) last-writer-wins
+ranking, and delete suppression.
+
+DuckDB JSON semantics used (probed, v1.0.0):
+* json_type(j, '$.k') is SQL NULL when the key is ABSENT and 'NULL' when
+  present-with-null — exactly the presence test the engine's
+  map_contains_key performs;
+* json_extract_string renders numbers/bools as their text and objects as
+  compact JSON — identical to Spark's map<string,string> read of the
+  same document, so values compare bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..flagship import flagship_replay
+from ..pylog import FLAGSHIP_DIR, ensure_flagship_log
+
+_RAW = f"read_parquet('{FLAGSHIP_DIR}/*.parquet')"
+
+# --- shared SQL fragments (mirroring parse.py / oracle.py) -------------------
+
+_IS_TOMBSTONE = "(value IS NULL OR trim(value) = '' OR trim(value) = 'null')"
+# DuckDB evaluates vectorized expressions on EVERY row (no boolean
+# short-circuit), and json_extract* raises on invalid JSON — so all
+# extraction goes through TRY_CAST(value AS JSON), which is total.
+_J = "TRY_CAST(value AS JSON)"
+_OP = f"json_extract_string({_J}, '$.payload.op')"
+_IS_MALFORMED = f"({_J} IS NULL OR {_OP} IS NULL)"
+_AFTER = f"json_extract({_J}, '$.payload.after')"
+_BEFORE = f"json_extract({_J}, '$.payload.before')"
+
+# payload key present on the after image (absent => SQL NULL type)
+_PTYPE = f"json_type({_AFTER}, '$.payload')"
+_PARSED_PAYLOAD = f"TRY_CAST(json_extract_string({_AFTER}, '$.payload') AS JSON)"
+# present, non-null payload that does not parse to a JSON object => the
+# reference errors and skips the record (sync.go:208-210)
+_BAD_PAYLOAD = (
+    f"({_OP} IN ('c','r','u') AND {_PTYPE} IS NOT NULL AND {_PTYPE} <> 'NULL'"
+    f" AND NOT ({_PARSED_PAYLOAD} IS NOT NULL"
+    f"          AND json_type({_PARSED_PAYLOAD}) = 'OBJECT'))"
+)
+
+# document selection (sync.go:198-222): payload replaces the flat image;
+# else a doc sub-map unwraps; else the flat image is the doc
+_DOC = f"""CASE
+      WHEN {_PTYPE} IS NOT NULL THEN
+        CASE WHEN {_PTYPE} = 'NULL' THEN '{{}}'::JSON
+             ELSE {_PARSED_PAYLOAD} END
+      WHEN json_type({_AFTER}, '$.doc') = 'OBJECT' THEN json_extract({_AFTER}, '$.doc')
+      ELSE {_AFTER}
+    END"""
+
+
+def _replay_sql(final_select: str) -> str:
+    return f"""
+WITH raw AS (
+  SELECT * FROM {_RAW}
+), env AS (
+  SELECT topic, "offset",
+         {_OP} AS op,
+         COALESCE(TRY_CAST(json_extract({_J}, '$.payload.source.lsn') AS BIGINT), 0) AS lsn,
+         COALESCE(TRY_CAST(json_extract({_J}, '$.payload.transaction.id') AS BIGINT), 0) AS tx,
+         COALESCE(TRY_CAST(json_extract({_J}, '$.payload.source.ts_ms') AS BIGINT), 0) AS ts,
+         {_AFTER} AS after,
+         {_BEFORE} AS before,
+         {_DOC} AS doc
+  FROM raw
+  WHERE NOT {_IS_TOMBSTONE}
+    AND NOT {_IS_MALFORMED}
+    AND {_OP} IN ('c','r','u','d')
+    AND NOT {_BAD_PAYLOAD}
+), rows_all AS (
+  SELECT
+    CASE WHEN op = 'd' THEN json_extract_string(before, '$.repo')
+         ELSE COALESCE(json_extract_string(doc, '$.repo'),
+                       json_extract_string(after, '$.repo')) END AS repo,
+    CASE WHEN op = 'd' THEN json_extract_string(before, '$.path')
+         ELSE COALESCE(json_extract_string(doc, '$.path'),
+                       json_extract_string(after, '$.path')) END AS path,
+    json_extract_string(doc, '$.commit') AS commit,
+    json_extract_string(doc, '$.lang') AS lang,
+    json_extract_string(doc, '$.content') AS content,
+    json_extract_string(doc, '$.branch') AS branch,
+    topic AS route,
+    op, lsn, tx, ts, "offset",
+    (op = 'd'
+     OR lower(COALESCE(json_extract_string(after, '$.is_delete'),
+                       json_extract_string(doc, '$.is_delete'),
+                       'false')) IN ('true', '1')) AS is_del
+  FROM env
+), keyed AS (
+  SELECT * FROM rows_all
+  WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL AND path <> ''
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path
+      ORDER BY lsn DESC, tx DESC, ts DESC, "offset" DESC) AS rn
+  FROM keyed
+), final AS (
+  SELECT repo, path, commit, lang, content, route, branch,
+         sha256(content) AS content_sha256
+  FROM ranked WHERE rn = 1 AND NOT is_del
+)
+{final_select}
+"""
+
+
+# --- cdc_engine_replay: the flagship itself ---------------------------------
+
+
+def cdc_engine_replay(spark, sf_dir):
+    return flagship_replay(spark)
+
+
+SQL_ENGINE_REPLAY = _replay_sql("SELECT * FROM final")
+
+
+# --- cdc_engine_routes: final state grouped by routing identity (P8) --------
+
+
+def cdc_engine_routes(spark, sf_dir):
+    return (
+        flagship_replay(spark)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("branch").alias("n_branched"),
+        )
+    )
+
+
+SQL_ENGINE_ROUTES = _replay_sql(
+    "SELECT route, count(*) AS n_rows, count(branch) AS n_branched "
+    "FROM final GROUP BY route"
+)
+
+
+# --- cdc_engine_dead_letters: the parse classifier, non-vacuous (T4) --------
+
+
+def cdc_engine_dead_letters(spark, sf_dir):
+    from ..parse import parse_envelopes
+    from ..sources import file_batch
+
+    log_dir = ensure_flagship_log()
+    parsed = parse_envelopes(file_batch(spark, log_dir))
+    return parsed.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# The missing-key test needs the resolved keys, so the classifier SQL
+# reuses the same doc-selection fragments as the replay.
+SQL_ENGINE_DEAD_LETTERS = f"""
+WITH raw AS (
+  SELECT * FROM {_RAW}
+), cls AS (
+  SELECT CASE
+    WHEN {_IS_TOMBSTONE} THEN 'tombstone'
+    WHEN {_IS_MALFORMED} THEN 'malformed'
+    WHEN {_OP} NOT IN ('c','r','u','d') THEN 'unknown_op'
+    WHEN {_BAD_PAYLOAD} THEN 'bad_payload'
+    WHEN (CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.repo')
+               ELSE COALESCE(json_extract_string({_DOC}, '$.repo'),
+                             json_extract_string({_AFTER}, '$.repo')) END) IS NULL
+      OR (CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.repo')
+               ELSE COALESCE(json_extract_string({_DOC}, '$.repo'),
+                             json_extract_string({_AFTER}, '$.repo')) END) = ''
+      OR (CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.path')
+               ELSE COALESCE(json_extract_string({_DOC}, '$.path'),
+                             json_extract_string({_AFTER}, '$.path')) END) IS NULL
+      OR (CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.path')
+               ELSE COALESCE(json_extract_string({_DOC}, '$.path'),
+                             json_extract_string({_AFTER}, '$.path')) END) = ''
+      THEN 'missing_key'
+    ELSE 'ok' END AS status
+  FROM raw
+)
+SELECT status, count(*) AS n FROM cls GROUP BY status
+"""
+
+
+def _oracle_ready(sql: str) -> str:
+    """Materialize the log before handing the SQL to the driver's DuckDB."""
+    ensure_flagship_log()
+    return sql
+
+
+QUERIES = {
+    "cdc_engine_replay": (cdc_engine_replay, _oracle_ready(SQL_ENGINE_REPLAY)),
+    "cdc_engine_routes": (cdc_engine_routes, _oracle_ready(SQL_ENGINE_ROUTES)),
+    "cdc_engine_dead_letters": (
+        cdc_engine_dead_letters,
+        _oracle_ready(SQL_ENGINE_DEAD_LETTERS),
+    ),
+}

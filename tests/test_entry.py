@@ -74,11 +74,11 @@ def test_entry_flagship(spark):
     assert {"repo", "path", "commit", "lang", "content", "content_sha256"} <= set(df.columns)
 
 
-def test_rows_only_queries_run(spark):
-    rows_only = set(QUERIES) - set(ORACLES)
-    assert "cdc_engine_replay" in rows_only
-    for name in rows_only:
-        assert QUERIES[name](spark, SF_DIR).count() >= 0
+def test_flagship_engine_replay_has_an_oracle(spark):
+    # round-1 gap closed: the flagship parse->LWW->MERGE replay itself is
+    # DuckDB-oracled (engine.py), so NO query is rows-only anymore
+    assert "cdc_engine_replay" in ORACLES
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_all_oracle_keys_have_queries():
