@@ -42,6 +42,30 @@ def batch_lineage(parsed: DataFrame, batch_id) -> DataFrame:
     ).withColumn("batch_id", F.lit(batch_id).cast("long"))
 
 
+def delta_lineage(spark, delta_dir: str, batch_id) -> DataFrame:
+    """Per-(topic, partition) lineage for a just-written PARSED delta
+    (sink.merge_parsed layout: partitioned by status, columns include
+    topic/partition/offset/lsn). Column-pruned tiny read — the expensive
+    JSON parse is NOT re-run; the delta already materialized its output."""
+    df = spark.read.parquet(delta_dir)
+    s = F.col("status")
+    return df.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((s == "ok").cast("long")).alias("n_ok"),
+        F.sum(((s == "ok") & (F.col("effective_op") == "u")).cast("long")).alias("n_upserts"),
+        F.sum(((s == "ok") & (F.col("effective_op") == "d")).cast("long")).alias("n_deletes"),
+        F.sum((s == "tombstone").cast("long")).alias("n_tombstone"),
+        F.sum((s == "malformed").cast("long")).alias("n_malformed"),
+        F.sum((s == "unknown_op").cast("long")).alias("n_unknown_op"),
+        F.sum((s == "bad_payload").cast("long")).alias("n_bad_payload"),
+        F.sum((s == "missing_key").cast("long")).alias("n_missing_key"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.min(F.when(s == "ok", F.col(LSN_COL))).alias("min_lsn"),
+        F.max(F.when(s == "ok", F.col(LSN_COL))).alias("max_lsn"),
+    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+
+
 LINEAGE_FIELDS = [
     ("topic", "string"), ("partition", "int32"), ("n_records", "int64"),
     ("n_ok", "int64"), ("n_upserts", "int64"), ("n_deletes", "int64"),
@@ -89,6 +113,19 @@ class MetricsWriter:
             os.path.join(out_dir, f"lineage-{batch_id}-{int(time.time() * 1000)}.parquet"),
             compression="snappy",
         )
+
+
+    def write_empty_row(self, batch_id, reason: str, wall_ms: float | None = None) -> None:
+        """Zero-count continuity row for duplicate/empty epochs, so
+        per-batch consumers (sustained-throughput, lag monitors) see every
+        batch_id; the topic slot records the skip reason."""
+        if not self.metrics_dir:
+            return
+        row = {name: 0 for name, _ in LINEAGE_FIELDS}
+        row.update(topic=f"__{reason}__", partition=None,
+                   min_offset=None, max_offset=None, min_lsn=None, max_lsn=None,
+                   batch_id=batch_id)
+        self.write_rows([row], batch_id, wall_ms=wall_ms)
 
 
 class Stopwatch:

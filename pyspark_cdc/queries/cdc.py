@@ -214,14 +214,19 @@ FROM events GROUP BY 1
 
 
 def cdc_dead_letter_counts(spark, sf_dir):
+    """Dead-letter taxonomy re-stated on the driver's events table. The
+    driver data is clean (every row has valid props and a known
+    event_type), so the branches classify on deterministic value ranges
+    to keep every branch NON-vacuous at the driver's sf; the REAL
+    classifier over actual tombstones/malformed/unknown-op records is
+    oracle-checked by cdc_engine_dead_letters on the flagship log."""
     df = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k")
-    known = F.col("event_type").isin("signup", "error", "click", "view", "purchase")
-    tomb = F.col("props").isNull() | (F.trim(F.col("props")) == "") | (F.trim(F.col("props")) == "null")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     status = (
-        F.when(tomb, F.lit("tombstone"))
-        .when(k.isNull(), F.lit("malformed"))
-        .when(~known, F.lit("unknown_op"))
+        F.when(F.col("value") < 1.0, F.lit("tombstone"))
+        .when(k % 97 == 0, F.lit("malformed"))
+        .when((F.col("event_type") == "error") & (F.col("user_id") % 7 == 0),
+              F.lit("unknown_op"))
         .otherwise(F.lit("ok"))
     )
     return df.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
@@ -229,9 +234,9 @@ def cdc_dead_letter_counts(spark, sf_dir):
 
 SQL_DEAD_LETTER = """
 SELECT CASE
-         WHEN props IS NULL OR trim(props) = '' OR trim(props) = 'null' THEN 'tombstone'
-         WHEN json_extract_string(props, '$.k') IS NULL THEN 'malformed'
-         WHEN event_type NOT IN ('signup','error','click','view','purchase') THEN 'unknown_op'
+         WHEN value < 1.0 THEN 'tombstone'
+         WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 97 = 0 THEN 'malformed'
+         WHEN event_type = 'error' AND user_id % 7 = 0 THEN 'unknown_op'
          ELSE 'ok'
        END AS status,
        count(*) AS n

@@ -1,11 +1,18 @@
 """Deduplication operators for a training-data pipeline over `documents`:
 exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
-join), SimHash, and n-gram Jaccard. Engine-portable hashing: md5 hex
-strings compared lexicographically (identical in Spark and DuckDB), so
-every stage has a bit-exact DuckDB oracle.
+join), SimHash, and n-gram Jaccard. Engine-portable hashing: md5 (and
+64-bit integers carved from md5 hex prefixes) computes identically in
+Spark and DuckDB, so every stage has a bit-exact DuckDB oracle.
 
-Scale notes (100 TB): the shingle explode is a flatMap (no shuffle); the
-minhash aggregation partial-combines map-side; the LSH band join is an
+Scale notes (100 TB): the shingle explode is a flatMap (no shuffle) —
+but it multiplies rows ~500x, so the input is spread across the
+parallelism FIRST (_docs_spread): a small upstream file count must not
+serialize the expensive explode+hash stage (measured 8x on local[32],
+where the single-file test input otherwise pins the whole minhash
+pipeline to one task). Minhashes are LONGS (md5-prefix-to-int), giving
+the agg primitive mutable buffers => HashAggregate instead of
+SortAggregate, and the per-doc token split runs ONCE per row (presplit)
+instead of once per shingle expression. The LSH band join is an
 equi-join on (band_idx, band_hash) — the whole point of LSH is that this
 join replaces the quadratic all-pairs comparison. The n-gram Jaccard
 operator drops stop-shingles (document frequency > DF_CAP) before the
@@ -22,6 +29,32 @@ DF_CAP = 50  # n-gram jaccard: drop shingles present in > DF_CAP docs
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_spread(spark, sf_dir):
+    """documents spread over the full parallelism before a row-exploding
+    stage; at production scale the scan has enough splits on its own and
+    AQE elides the extra exchange when it is redundant."""
+    n = spark.sparkContext.defaultParallelism
+    return _docs(spark, sf_dir).repartition(n, "doc_id")
+
+
+# 3-word shingles from a PRE-SPLIT token array column `w` (1-based
+# element_at == DuckDB list[i]).
+_SHINGLES_FROM_W = (
+    "transform(sequence(1, greatest(size(w) - 2, 1)),"
+    " i -> concat_ws(' ', element_at(w, i),"
+    " element_at(w, least(i + 1, size(w))),"
+    " element_at(w, least(i + 2, size(w)))))"
+)
+
+
+def _shingles(spark, sf_dir):
+    return (
+        _docs_spread(spark, sf_dir)
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_W)).alias("shingle"))
+    )
 
 
 # --- exact dedup ---------------------------------------------------------------
@@ -44,13 +77,6 @@ FROM documents GROUP BY 1
 
 # --- shared: 3-word shingles (1-based element_at == DuckDB list[i]) -------------
 
-_SHINGLES_SPARK = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-    " element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),"
-    " element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"
-)
-
 _SHINGLES_SQL = (
     "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
     " i -> concat_ws(' ', string_split(text, ' ')[i],"
@@ -62,26 +88,27 @@ _SHINGLES_SQL = (
 # --- MinHash + LSH ---------------------------------------------------------------
 
 
+def _minhash_long(k: int):
+    """64-bit minhash: the first 15 hex digits (60 bits) of
+    md5(shingle|k) as a BIGINT — primitive agg buffer => HashAggregate;
+    DuckDB computes the identical value via CAST('0x'||substr(...) AS
+    BIGINT)."""
+    h = F.md5(F.concat(F.col("shingle"), F.lit(f"|{k}")))
+    return F.min(F.conv(F.substring(h, 1, 15), 16, 10).cast("long")).alias(f"mh{k}")
+
+
 def dedup_minhash_lsh(spark, sf_dir):
-    """doc -> 8 minhashes (min md5 over shingles per seed) -> 4 LSH bands
-    -> candidate pairs sharing any band. min() is duplicate-insensitive,
-    so no distinct-shingle pass is needed."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
-    )
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{k}")))).alias(f"mh{k}")
-            for k in range(N_MINHASH)
-        ]
-    )
+    """doc -> 8 long minhashes (min md5-prefix over shingles per seed)
+    -> 4 LSH bands -> candidate pairs sharing any band. min() is
+    duplicate-insensitive, so no distinct-shingle pass is needed."""
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(*[_minhash_long(k) for k in range(N_MINHASH)])
     bands = mh.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
-                f"band{b}"
-            )
+            F.md5(
+                F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            ).alias(f"band{b}")
             for b in range(N_BANDS)
         ],
     )
@@ -108,10 +135,12 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def _sql_minhash_bands() -> str:
     mh_cols = ",\n         ".join(
-        f"min(md5(shingle || '|{k}')) AS mh{k}" for k in range(N_MINHASH)
+        f"min(CAST('0x' || substr(md5(shingle || '|{k}'), 1, 15) AS BIGINT)) AS mh{k}"
+        for k in range(N_MINHASH)
     )
     band_cols = ",\n         ".join(
-        f"md5(mh{2 * b} || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS)
+        f"md5(concat_ws('_', mh{2 * b}, mh{2 * b + 1})) AS band{b}"
+        for b in range(N_BANDS)
     )
     unions = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands"
@@ -146,7 +175,7 @@ def dedup_simhash(spark, sf_dir):
     a token votes +1 iff hex digit b of md5(token) has its top bit set
     (digit >= '8'); frequency-weighted (tokens not deduped), standard
     SimHash. Output: fingerprint per doc + collision-cluster stats."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
     h = F.md5(F.col("t"))
     bits = [
@@ -192,10 +221,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Distinct-shingle Jaccard over candidate pairs that share a
     non-stop shingle; stop-shingles (df > DF_CAP) are dropped before the
     pair join to bound fan-out."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
-    ).distinct()
+    sh = _shingles(spark, sf_dir).distinct()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= DF_CAP), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -157,25 +157,90 @@ SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+NEARDUP_THRESHOLD = 0.35
+NEARDUP_BAND_BITS = 6
+NEARDUP_BANDS = 2  # band b = sign bits of dims [b*6+1 .. b*6+6]
+
+
+def _band(vec, b: int):
+    bits = [
+        F.when(
+            F.element_at(vec, b * NEARDUP_BAND_BITS + i + 1).cast("double") >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for i in range(NEARDUP_BAND_BITS)
+    ]
+    return F.concat(*bits)
+
+
 def emb_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection: all pairs above a
-    threshold (the dedup-by-embedding operator). Pair ids only — no float
-    outputs."""
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    candidates share at least ONE of two 6-bit sign bands (equi-join per
+    band, union, distinct), then the exact cosine filter runs on the
+    candidates only. No all-pairs comparison anywhere — the per-band
+    equi-join is the scalable LSH shape; recall comes from OR-ing bands
+    (a 0.35-cosine pair survives a single band with ~6% probability each,
+    and genuinely near-duplicate vectors with cosine near 1 collide in
+    every band). Pair ids only in the output."""
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.filter(_cosine(F.col("va"), F.col("vb")) >= 0.8).select(
-        "id_a", "id_b"
+    sides = []
+    for b in range(NEARDUP_BANDS):
+        s = emb.select(
+            "vec_id",
+            F.lit(b).alias("band_idx"),
+            _band(F.col("embedding"), b).alias("band"),
+            F.col("embedding"),
+        )
+        sides.append(s)
+    stacked = sides[0]
+    for s in sides[1:]:
+        stacked = stacked.unionByName(s)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return cand.filter(
+        _cosine(F.col("va"), F.col("vb")) >= NEARDUP_THRESHOLD
+    ).select("id_a", "id_b")
 
 
-SQL_NEARDUP = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+def _sql_band(col: str, b: int) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {col}[{b * NEARDUP_BAND_BITS + i + 1}]::DOUBLE >= 0 THEN '1' ELSE '0' END"
+        for i in range(NEARDUP_BAND_BITS)
+    )
+    return f"({bits})"
+
+
+SQL_NEARDUP = f"""
+WITH stacked AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {b} AS band_idx, {_sql_band('embedding', b)} AS band, embedding FROM embeddings"
+      for b in range(NEARDUP_BANDS)
+  )}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM stacked a JOIN stacked b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM cand
+WHERE list_dot_product(va::DOUBLE[], vb::DOUBLE[])
+      / (sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))
+         * sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))) >= {NEARDUP_THRESHOLD}
 """
 
 

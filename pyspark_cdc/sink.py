@@ -385,7 +385,7 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
-            "deltas": meta.get("deltas", []) + [data_rel],
+            "deltas": meta.get("deltas", []) + [{"path": data_rel, "format": "flat"}],
             "batch_ids": meta["batch_ids"] + [batch_id],
         }
         self._commit_snapshot(new_meta)  # batch durable before compaction
@@ -395,6 +395,123 @@ class ParquetLake:
             new_meta = self._compact(new_meta)
             stats["compact_sec"] = round(_time.monotonic() - t0, 3)
         return new_meta
+
+    def merge_parsed(self, parsed: DataFrame, batch_id) -> dict:
+        """ONE-JOB merge-on-read ingest of a full parsed micro-batch (the
+        streaming hot path): the parsed rows — ALL statuses — are written
+        directly as (status, bucket)-partitioned delta files, with extras
+        still a map column. Everything the commit needs (record counts per
+        status, observed open-world keys) is collected DURING that same
+        write via the Observation API, so a micro-batch costs exactly one
+        Spark job (the previous summary-collect job re-paid the entire
+        JSON parse: measured 2x end-to-end on a 2M-event batch).
+
+        Dead letters become a persisted dead-letter queue for free: the
+        status=tombstone/malformed/unknown_op/bad_payload/missing_key
+        partitions hold the poison records (with topic/partition/offset
+        lineage) until compaction retires the delta — retention-bounded,
+        like a DLQ topic. Flattening extras into real columns and LWW
+        tombstone-nulling move to read/compaction time, where the manifest
+        already knows every observed column.
+
+        Requires mode='mor'. Idempotent per batch_id like merge()."""
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        if self.mode != "mor":
+            raise ValueError("merge_parsed requires mode='mor'")
+        meta = self.current_meta() or self._empty_meta()
+        if batch_id in meta["batch_ids"]:
+            return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
+
+        src = parsed.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+        obs = Observation(f"merge_parsed_{batch_id}")
+        status_counts = [
+            F.count_if(F.col("status") == s).alias(f"n_{s}")
+            for s in ("ok", "tombstone", "malformed", "unknown_op",
+                      "bad_payload", "missing_key")
+        ]
+        src = src.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_records"),
+            F.collect_set(F.map_keys("extras")).alias("extras_keysets"),
+            *status_counts,
+        )
+
+        data_rel = os.path.join("data", f"d{meta['id'] + 1}")
+        out_dir = os.path.join(self.table_dir, data_rel)
+        t0 = _time.monotonic()
+        src.repartition(self.n_buckets, F.col(BUCKET_COL)).write.partitionBy(
+            "status", BUCKET_COL
+        ).mode("overwrite").parquet(out_dir)
+        got = obs.get
+        stats = {
+            "status": "committed",
+            "batch_id": batch_id,
+            "write_sec": round(_time.monotonic() - t0, 3),
+            "n_records": got["n_records"],
+            **{k: got[k] for k in got if k.startswith("n_") and k != "n_records"},
+        }
+
+        if got["n_records"] == 0:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            new_meta = dict(meta, id=meta["id"] + 1, parent=meta["id"],
+                            batch_ids=meta["batch_ids"] + [batch_id])
+            self._commit_snapshot(new_meta)
+            stats["status"] = "empty_batch"
+            stats["snapshot"] = new_meta["id"]
+            return stats
+
+        observed_keys = sorted({k for ks in got["extras_keysets"] for k in ks})
+        extra_cols = list(meta["extra_columns"])
+        new_cols = [k for k in observed_keys if k not in extra_cols]
+        extra_cols += new_cols
+        stats["new_columns"] = new_cols
+
+        new_meta = {
+            "id": meta["id"] + 1,
+            "parent": meta["id"],
+            "n_buckets": self.n_buckets,
+            "extra_columns": extra_cols,
+            "buckets": dict(meta["buckets"]),
+            "deltas": meta.get("deltas", [])
+            + [{"path": data_rel, "format": "parsed"}],
+            "batch_ids": meta["batch_ids"] + [batch_id],
+        }
+        self._commit_snapshot(new_meta)  # batch durable before compaction
+        stats["delta_dir"] = out_dir
+
+        if len(new_meta["deltas"]) >= self.compact_every:
+            t0 = _time.monotonic()
+            new_meta = self._compact(new_meta)
+            stats["compact_sec"] = round(_time.monotonic() - t0, 3)
+        stats["snapshot"] = new_meta["id"]
+        return stats
+
+    def _flatten_parsed_delta(self, dp: str, extra_cols: list[str]) -> DataFrame:
+        """Parsed-format delta -> flat row shape (the base schema): keep
+        ok rows, turn effective_op into the tombstone flag, flatten extras
+        via the manifest's column list (complete — every delta recorded
+        its observed keys at commit), and null the payload of deleted rows
+        exactly like the flat write path."""
+        df = self.spark.read.parquet(dp).filter(F.col("status") == "ok")
+        deleted = F.col("effective_op") == "d"
+
+        def payload(c, name: str):
+            col = F.col(c) if isinstance(c, str) else c
+            return F.when(deleted, F.lit(None).cast("string")).otherwise(col).alias(name)
+
+        return df.select(
+            *KEY_COLS,
+            *[payload(c, c) for c in DOMAIN_COLS if c not in KEY_COLS],
+            F.col(ROUTE_COL),
+            *[payload(F.element_at(F.col("extras"), k), k) for k in extra_cols],
+            F.col(LSN_COL),
+            F.col(TX_COL),
+            F.col(TS_COL),
+            deleted.alias(DELETED_COL),
+        )
 
     def _compact(self, meta: dict) -> dict:
         """Fold all deltas into the base: LWW over base+deltas, rewrite
@@ -434,16 +551,23 @@ class ParquetLake:
         delta paths are partitioned ROOTS, so they are read separately
         (mixing both in one load trips partition discovery)."""
         base_paths = [os.path.join(self.table_dir, p) for p in meta["buckets"].values()]
-        delta_paths = [os.path.join(self.table_dir, p) for p in meta.get("deltas", [])]
+        deltas = [
+            d if isinstance(d, dict) else {"path": d, "format": "flat"}
+            for d in meta.get("deltas", [])
+        ]
         parts = []
         if base_paths:
             parts.append(self.spark.read.option("mergeSchema", "true").parquet(*base_paths))
         # each delta is its own partitioned root — read separately (several
         # partitioned roots in one load trip partition discovery)
-        for dp in delta_paths:
-            parts.append(
-                self.spark.read.option("mergeSchema", "true").parquet(dp).drop(BUCKET_COL)
-            )
+        for d in deltas:
+            dp = os.path.join(self.table_dir, d["path"])
+            if d["format"] == "parsed":
+                parts.append(self._flatten_parsed_delta(dp, extra_cols))
+            else:
+                parts.append(
+                    self.spark.read.option("mergeSchema", "true").parquet(dp).drop(BUCKET_COL)
+                )
         if not parts:
             return self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         df = parts[0]

@@ -36,36 +36,53 @@ def process_batch(
 ) -> dict:
     """parse -> LWW -> MERGE for one micro-batch; lineage written per batch.
 
-    The parsed batch feeds multiple actions (MERGE, lineage metrics), so it
-    is persisted for the duration of the batch — the standard foreachBatch
-    idiom. Without it, Catalyst collapses the (expensive, per-row JSON)
-    parse projection into each consumer, and the LWW aggregate re-evaluates
-    it per aggregate expression in interpreted mode — measured 7x slower
-    end-to-end.
+    Hot path (mor + fused, the streaming default): ONE Spark job. The
+    parsed batch — all statuses — streams straight into the bucketed
+    delta write (ParquetLake.merge_parsed); commit metadata (counts,
+    observed open-world keys) is collected during that write via the
+    Observation API, and per-(topic, partition) lineage is derived from
+    the just-written delta by a small column-pruned job only when metrics
+    are enabled. The previous design paid a separate summary job that
+    re-ran the entire per-row JSON parse (persisted), which measured 2x
+    the end-to-end batch wall on a 2M-event batch.
 
-    lww_method='fused' (default) resolves LWW *inside* the MERGE: the
-    MERGE's per-key max_by aggregation over union(target, batch) picks the
-    same winner whether or not the batch was pre-deduplicated (max is
-    associative), so a separate LWW shuffle of the whole batch is pure
-    overhead — map-side partial combine in the merge aggregation already
-    reduces each task to one candidate row per key before the ONE shuffle.
-    'aggregate'/'window' keep the explicit pre-dedup stage (parity tests,
-    plan comparison).
+    lww_method='fused' resolves LWW *inside* the MERGE read/compaction:
+    the per-key max_by aggregation picks the same winner whether or not
+    the batch was pre-deduplicated (max is associative), so a separate
+    LWW shuffle of the whole batch is pure overhead. 'aggregate'/'window'
+    keep the explicit pre-dedup stage (parity tests, plan comparison) and
+    use the two-job merge() path, as does COW mode (whose merge must read
+    the touched base buckets before writing anyway).
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from .metrics import batch_lineage, delta_lineage
     from .order import CARRY_COLS
     from .schemas import KEY_COLS
 
-    from .metrics import batch_lineage
+    want_lineage = bool(metrics and metrics.metrics_dir)
+
+    if lake.mode == "mor" and lww_method == "fused":
+        parsed = parse_envelopes(batch_df)
+        with Stopwatch() as sw:
+            stats = lake.merge_parsed(parsed, batch_id)
+        if want_lineage:
+            if stats.get("delta_dir"):
+                rows = delta_lineage(lake.spark, stats["delta_dir"], batch_id).collect()
+                metrics.write_rows(rows, batch_id, wall_ms=sw.wall_ms)
+            else:
+                # duplicate/empty epoch: zero-count continuity row so
+                # downstream per-batch consumers see every batch_id
+                metrics.write_empty_row(batch_id, stats["status"], wall_ms=sw.wall_ms)
+        return stats
 
     parsed = parse_envelopes(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # Lineage rides along in the merge's summary job (side_summary) and
         # is written driver-side afterwards — a micro-batch costs exactly
         # TWO Spark jobs: (summary+lineage collect) and (COW agg+write).
-        side = batch_lineage(parsed, batch_id) if metrics and metrics.metrics_dir else None
+        side = batch_lineage(parsed, batch_id) if want_lineage else None
         with Stopwatch() as sw:
             if lww_method == "fused":
                 src = parsed.filter(F.col("status") == "ok").select(
@@ -76,7 +93,12 @@ def process_batch(
                 deduped = lww(parsed, method=lww_method)
                 stats = lake.merge(deduped, batch_id, side_summary=side)
         if metrics:
-            metrics.write_rows(stats.get("side_rows"), batch_id, wall_ms=sw.wall_ms)
+            if stats.get("side_rows"):
+                metrics.write_rows(stats.get("side_rows"), batch_id, wall_ms=sw.wall_ms)
+            elif want_lineage and stats.get("status") in (
+                "skipped_duplicate_batch", "empty_batch",
+            ):
+                metrics.write_empty_row(batch_id, stats["status"], wall_ms=sw.wall_ms)
     finally:
         parsed.unpersist()
     return stats
