@@ -63,9 +63,10 @@ def sf_of(sf_dir: str) -> float:
 def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
     """Flagship CDC replay sized by sf (sf0.1 -> 2M events, 200k keys).
 
-    Three runs into fresh lakes: run 1 pays JVM class-load/JIT warm-up (a
-    one-off for a long-running CDC tail job); headline = median of runs
-    2-3 (steady state). Cold-run throughput is reported alongside.
+    Four runs into fresh lakes: run 1 pays JVM class-load/JIT warm-up (a
+    one-off for a long-running CDC tail job); headline = true median of
+    runs 2-4 (steady state) — the same statistic jobs/replay.py reports.
+    Cold-run throughput is reported alongside.
     """
     from pyspark_cdc import generate
     from pyspark_cdc.sink import ParquetLake
@@ -80,7 +81,7 @@ def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
     )
     walls = []
     n_rows = 0
-    for run in (1, 2, 3):
+    for run in (1, 2, 3, 4):
         lake = ParquetLake(
             spark, os.path.join(workdir, f"lake{run}"), n_buckets=64, mode="mor"
         )
@@ -88,7 +89,8 @@ def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
         replay_batch(spark, log_dir, lake)
         n_rows = lake.read().count()
         walls.append(time.monotonic() - t0)
-    steady = sorted(walls[1:])[0 if len(walls) == 2 else len(walls[1:]) // 2]
+    tail = sorted(walls[1:])
+    steady = tail[len(tail) // 2]  # odd-length tail => exact median
     return steady, {
         "replay_n_events": n_events,
         "replay_events_per_sec": round(n_events / steady, 1),

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -74,15 +75,31 @@ def main(argv=None) -> int:
 
     run_walls: list[float] = []
     if args.mode == "batch":
+        import shutil as _shutil
+
+        warm_dirs = []
         for r in range(1, args.runs + 1):
-            run_lake = (
-                lake if r == args.runs
-                else ParquetLake(spark, f"{args.table_dir}_warm{r}", n_buckets=args.n_buckets,
-                                 mode=args.table_mode, compact_every=args.compact_every)
-            )
+            run_dir = args.table_dir if r == args.runs else f"{args.table_dir}_warm{r}"
+            # a pre-existing manifest would turn every merge into
+            # skipped_duplicate_batch and silently measure no-ops
+            if os.path.exists(os.path.join(run_dir, "_meta", "current")):
+                _shutil.rmtree(run_dir, ignore_errors=True)
+            if r == args.runs:
+                lake = run_lake = ParquetLake(
+                    spark, run_dir, n_buckets=args.n_buckets,
+                    mode=args.table_mode, compact_every=args.compact_every)
+            else:
+                warm_dirs.append(run_dir)
+                run_lake = ParquetLake(spark, run_dir, n_buckets=args.n_buckets,
+                                       mode=args.table_mode, compact_every=args.compact_every)
+            # lineage metrics only for the final measured run, so the
+            # metrics dir never mixes batch_ids from warm-up replays
+            mdir = args.metrics_dir if r == args.runs else None
             rt0 = time.monotonic()
-            stats = replay_batch(spark, args.log_dir, run_lake, metrics_dir=args.metrics_dir)
+            stats = replay_batch(spark, args.log_dir, run_lake, metrics_dir=mdir)
             run_walls.append(round(time.monotonic() - rt0, 3))
+        for d in warm_dirs:
+            _shutil.rmtree(d, ignore_errors=True)
         wall = run_walls[-1]
     else:
         if not args.checkpoint:
@@ -121,11 +138,17 @@ def main(argv=None) -> int:
                 stats["sustained_events"] = recs
                 stats["per_batch_wall_ms"] = [round(r["wall_ms"], 1) for r in per_batch]
 
-    # steady-state = MIN wall of the post-warm-up runs: a CDC tail job runs
-    # for days so run-1 class-load/JIT cost is a one-off, and the remaining
-    # run-to-run variance (GC cycles, page cache) only ever ADDS time — the
-    # minimum is the cleanest estimator of the job's intrinsic cost.
-    steady = min(run_walls[1:]) if len(run_walls) > 1 else wall
+    # steady-state = MEDIAN wall of the post-warm-up runs: run-1
+    # class-load/JIT cost is a one-off for a long-running CDC tail job;
+    # the median of the remaining runs is robust to one-sided noise
+    # without the best-case bias of a minimum (same statistic as bench.py).
+    if len(run_walls) > 1:
+        tail = sorted(run_walls[1:])
+        steady = tail[len(tail) // 2] if len(tail) % 2 else (
+            (tail[len(tail) // 2 - 1] + tail[len(tail) // 2]) / 2
+        )
+    else:
+        steady = wall
 
     n_events = spark.read.parquet(args.log_dir).count()
     n_rows = lake.read().count()

@@ -66,6 +66,10 @@ BUCKET_COL = "__bucket"
 ROUTE_COL = "route"
 ORD_COLS = [LSN_COL, TX_COL, TS_COL]
 INTERNAL = [*ORD_COLS, DELETED_COL]
+# out-of-order applied-batch-id window kept above the watermark
+RECENT_BATCH_WINDOW = 1024
+# snapshots kept by expire_snapshots (time-travel horizon)
+SNAPSHOT_RETENTION = 8
 
 
 def bucket_expr(n_buckets: int):
@@ -156,16 +160,60 @@ class ParquetLake:
             "extra_columns": [],
             "buckets": {},
             "deltas": [],
-            "batch_ids": [],
+            # Bounded applied-batch tracking: a long-running CDC tail job
+            # commits unbounded batches, so the manifest stores a
+            # high-watermark (every id <= wm is applied) plus the
+            # out-of-order ids above it — O(window), not O(n_batches).
+            "batch_wm": -1,
+            "recent_batch_ids": [],
         }
+
+    @staticmethod
+    def _batch_applied(meta: dict, batch_id) -> bool:
+        if "batch_ids" in meta:  # pre-watermark manifest
+            return batch_id in meta["batch_ids"]
+        return (
+            isinstance(batch_id, int) and batch_id <= meta["batch_wm"]
+        ) or batch_id in meta["recent_batch_ids"]
+
+    @staticmethod
+    def _with_batch(meta: dict, batch_id) -> dict:
+        """New (wm, recent) after applying batch_id. If the recent window
+        ever overflows RECENT_BATCH_WINDOW, the lowest ids are dropped —
+        safe direction: a dropped id re-applies as a duplicate delta,
+        which the LWW merge is content-idempotent against (max is
+        duplicate-insensitive), whereas the other direction would skip
+        data."""
+        if "batch_ids" in meta:  # migrate pre-watermark manifest
+            wm, recent = -1, set(meta["batch_ids"])
+        else:
+            wm, recent = meta["batch_wm"], set(meta["recent_batch_ids"])
+        recent.add(batch_id)
+        while (wm + 1) in recent:
+            wm += 1
+            recent.discard(wm)
+        recent = {b for b in recent if not (isinstance(b, int) and b <= wm)}
+        if len(recent) > RECENT_BATCH_WINDOW:
+            keep = sorted(recent, key=str)[-RECENT_BATCH_WINDOW:]
+            recent = set(keep)
+        out = {k: v for k, v in meta.items() if k != "batch_ids"}
+        out["batch_wm"] = wm
+        out["recent_batch_ids"] = sorted(recent, key=str)
+        return out
 
     def extra_columns(self) -> list[str]:
         meta = self.current_meta()
         return list(meta["extra_columns"]) if meta else []
 
     def applied_batch_ids(self) -> list:
+        """Reconstructed applied-id list: [0..wm] + out-of-order window.
+        (Exact for the streaming case of monotone integer batch ids.)"""
         meta = self.current_meta()
-        return list(meta["batch_ids"]) if meta else []
+        if not meta:
+            return []
+        if "batch_ids" in meta:
+            return list(meta["batch_ids"])
+        return list(range(meta["batch_wm"] + 1)) + list(meta["recent_batch_ids"])
 
     # ---------------- data plane ----------------
 
@@ -223,7 +271,7 @@ class ParquetLake:
         from pyspark import StorageLevel
 
         meta = self.current_meta() or self._empty_meta()
-        if batch_id in meta["batch_ids"]:
+        if self._batch_applied(meta, batch_id):
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
 
         src = changes.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
@@ -263,8 +311,8 @@ class ParquetLake:
         touched = sorted({r[BUCKET_COL] for r in summary})
         observed_keys = sorted({r["_k"] for r in summary if r["_k"] is not None})
         if not touched:
-            new_meta = dict(meta, id=meta["id"] + 1, parent=meta["id"],
-                            batch_ids=meta["batch_ids"] + [batch_id])
+            new_meta = dict(self._with_batch(meta, batch_id),
+                            id=meta["id"] + 1, parent=meta["id"])
             self._commit_snapshot(new_meta)
             return {"status": "empty_batch", "batch_id": batch_id,
                     "side_rows": side_rows}
@@ -357,7 +405,8 @@ class ParquetLake:
             "extra_columns": extra_cols,
             "buckets": new_buckets,
             "deltas": meta.get("deltas", []),
-            "batch_ids": meta["batch_ids"] + [batch_id],
+            **{k: v for k, v in self._with_batch(meta, batch_id).items()
+               if k in ("batch_wm", "recent_batch_ids")},
         }
         self._commit_snapshot(new_meta)
         return new_meta
@@ -386,7 +435,8 @@ class ParquetLake:
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
             "deltas": meta.get("deltas", []) + [{"path": data_rel, "format": "flat"}],
-            "batch_ids": meta["batch_ids"] + [batch_id],
+            **{k: v for k, v in self._with_batch(meta, batch_id).items()
+               if k in ("batch_wm", "recent_batch_ids")},
         }
         self._commit_snapshot(new_meta)  # batch durable before compaction
 
@@ -422,7 +472,7 @@ class ParquetLake:
         if self.mode != "mor":
             raise ValueError("merge_parsed requires mode='mor'")
         meta = self.current_meta() or self._empty_meta()
-        if batch_id in meta["batch_ids"]:
+        if self._batch_applied(meta, batch_id):
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
 
         src = parsed.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
@@ -456,8 +506,8 @@ class ParquetLake:
 
         if got["n_records"] == 0:
             shutil.rmtree(out_dir, ignore_errors=True)
-            new_meta = dict(meta, id=meta["id"] + 1, parent=meta["id"],
-                            batch_ids=meta["batch_ids"] + [batch_id])
+            new_meta = dict(self._with_batch(meta, batch_id),
+                            id=meta["id"] + 1, parent=meta["id"])
             self._commit_snapshot(new_meta)
             stats["status"] = "empty_batch"
             stats["snapshot"] = new_meta["id"]
@@ -477,7 +527,8 @@ class ParquetLake:
             "buckets": dict(meta["buckets"]),
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "parsed"}],
-            "batch_ids": meta["batch_ids"] + [batch_id],
+            **{k: v for k, v in self._with_batch(meta, batch_id).items()
+               if k in ("batch_wm", "recent_batch_ids")},
         }
         self._commit_snapshot(new_meta)  # batch durable before compaction
         stats["delta_dir"] = out_dir
@@ -540,10 +591,64 @@ class ParquetLake:
             "extra_columns": extra_cols,
             "buckets": new_buckets,
             "deltas": [],
-            "batch_ids": meta["batch_ids"],
+            **{k: v for k, v in meta.items()
+               if k in ("batch_wm", "recent_batch_ids", "batch_ids")},
         }
         self._commit_snapshot(new_meta)
+        # compaction doubles commit frequency vs plain appends, so it also
+        # pays for the cleanup: expire old snapshots + orphaned data dirs
+        self.expire_snapshots()
         return new_meta
+
+    def expire_snapshots(self, keep_last: int = SNAPSHOT_RETENTION) -> dict:
+        """Retention maintenance (Iceberg expire_snapshots + delete-orphans
+        analog): keep the newest `keep_last` snapshot manifests, delete the
+        older snap-*.json files, and remove data/* dirs referenced by NO
+        kept snapshot. Bounds disk growth of the long-running tail job;
+        single-writer, so no reader can hold an expired snapshot here (a
+        shared deployment would add a grace period)."""
+        meta = self.current_meta()
+        if meta is None:
+            return {"removed_snapshots": 0, "removed_dirs": 0}
+        snaps = sorted(
+            (
+                int(f[len("snap-"):-len(".json")])
+                for f in os.listdir(self._meta_dir)
+                if f.startswith("snap-") and f.endswith(".json")
+            ),
+        )
+        keep = {s for s in snaps if s > meta["id"] - keep_last} | {meta["id"]}
+
+        referenced: set[str] = set()
+        for s in keep:
+            try:
+                with open(os.path.join(self._meta_dir, f"snap-{s}.json")) as f:
+                    m = json.load(f)
+            except OSError:
+                continue
+            for p in m.get("buckets", {}).values():
+                referenced.add(p.split(os.sep + BUCKET_COL + "=", 1)[0])
+            for d in m.get("deltas", []):
+                referenced.add(d["path"] if isinstance(d, dict) else d)
+
+        removed_snaps = 0
+        for s in snaps:
+            if s not in keep:
+                try:
+                    os.remove(os.path.join(self._meta_dir, f"snap-{s}.json"))
+                    removed_snaps += 1
+                except OSError:
+                    pass
+
+        removed_dirs = 0
+        data_root = os.path.join(self.table_dir, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                rel = os.path.join("data", d)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed_dirs += 1
+        return {"removed_snapshots": removed_snaps, "removed_dirs": removed_dirs}
 
     def _read_all(self, meta: dict, extra_cols: list[str]) -> DataFrame:
         """All row versions (base + deltas), bucket column dropped, extra

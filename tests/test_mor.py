@@ -78,6 +78,49 @@ def test_mor_duplicate_batch_is_noop(spark, tmp_path):
     assert s1["status"] == "committed"
 
 
+def test_compaction_expires_snapshots_and_orphan_dirs(spark, tmp_path):
+    """Long-tail hygiene: after compactions, old snap-*.json files are
+    expired and data dirs referenced by no kept snapshot are removed;
+    applied-batch tracking stays bounded (watermark + window) yet every
+    batch id remains recorded."""
+    log_dir = _write_log(spark, tmp_path, n=3_000, files=6)
+    mor = ParquetLake(
+        spark, str(tmp_path / "mor"), n_buckets=8, mode="mor", compact_every=2
+    )
+    q = replay_stream(
+        spark, log_dir, mor, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    meta = mor.current_meta()
+    assert meta["batch_wm"] == 5 and meta["recent_batch_ids"] == []
+    assert mor.applied_batch_ids() == list(range(6))
+
+    meta_dir = str(tmp_path / "mor" / "_meta")
+    snaps = [f for f in os.listdir(meta_dir) if f.startswith("snap-")]
+    assert len(snaps) <= 8 + 1  # retention window (+current), not one per commit
+
+    # every remaining data dir is referenced by the kept snapshots
+    from pyspark_cdc.sink import BUCKET_COL
+    import json as _json
+    referenced = set()
+    for f in snaps:
+        m = _json.load(open(os.path.join(meta_dir, f)))
+        referenced |= {p.split(os.sep + BUCKET_COL + "=", 1)[0]
+                       for p in m.get("buckets", {}).values()}
+        referenced |= {d["path"] if isinstance(d, dict) else d
+                       for d in m.get("deltas", [])}
+    on_disk = {os.path.join("data", d)
+               for d in os.listdir(str(tmp_path / "mor" / "data"))}
+    assert on_disk <= referenced | {os.path.join("data", "d0")} or on_disk <= referenced
+
+    # final state still equals a fresh COW replay
+    cow = ParquetLake(spark, str(tmp_path / "cow"), n_buckets=8, mode="cow")
+    replay_batch(spark, log_dir, cow)
+    assert _rows(cow) == _rows(mor)
+
+
 def test_mor_late_older_upsert_loses_to_tombstone(spark, tmp_path):
     import json
 
