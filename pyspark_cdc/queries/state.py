@@ -153,6 +153,82 @@ def q9_projection(spark, sf_dir):
 SQL_Q9 = "SELECT p_partkey, p_brand, p_size FROM part WHERE p_partkey <= 100"
 
 
+# Q10: the search-proxy niceties previously declared non-goals, now
+# covered: highlight snippets (Meilisearch _formatted analog,
+# api.ts:24-28), fuzzy/typo-tolerant matching (Meili typo tolerance), and
+# field-weighted ranking (searchableAttributes order). All expressed with
+# engine-portable string functions so DuckDB oracles them bit-for-bit.
+
+
+def q10_highlight_snippets(spark, sf_dir):
+    """Highlight: wrap every 'vector' occurrence in <em> tags and return
+    a fixed-width snippet starting at the first hit."""
+    docs = _t(spark, sf_dir, "documents")
+    hit = F.locate("vector", F.col("text"))
+    snippet = F.substring(
+        F.regexp_replace(F.col("text"), "vector", "<em>vector</em>"),
+        1, 120,
+    )
+    return (
+        docs.filter(hit > 0)
+        .select("doc_id", hit.alias("first_hit"), snippet.alias("snippet"))
+    )
+
+
+SQL_Q10_HIGHLIGHT = """
+SELECT doc_id,
+       position('vector' IN text) AS first_hit,
+       substring(regexp_replace(text, 'vector', '<em>vector</em>', 'g'), 1, 120) AS snippet
+FROM documents WHERE position('vector' IN text) > 0
+"""
+
+
+def q10_fuzzy_search(spark, sf_dir):
+    """Typo tolerance: docs containing a token within edit distance 1 of
+    the (misspelled) query term 'vektor'."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    return (
+        tok.filter(F.levenshtein(F.col("t"), F.lit("vektor")) <= 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fuzzy_hits"))
+    )
+
+
+SQL_Q10_FUZZY = """
+SELECT doc_id, count(*) AS n_fuzzy_hits FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+) WHERE levenshtein(t, 'vektor') <= 1
+GROUP BY doc_id
+"""
+
+
+def q10_field_weighted_rank(spark, sf_dir):
+    """Field weights: source-field hits count 3x text-field hits; top 20
+    by score with doc_id tiebreak (total ordering before the limit)."""
+    docs = _t(spark, sf_dir, "documents")
+    text_hits = F.size(F.split(F.col("text"), "stream")) - 1
+    src_hit = F.when(F.col("source").contains("1"), F.lit(1)).otherwise(F.lit(0))
+    score = (F.lit(3) * src_hit + text_hits).alias("score")
+    return (
+        docs.select("doc_id", score)
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10_WEIGHTED = """
+SELECT doc_id,
+       3 * (CASE WHEN source LIKE '%1%' THEN 1 ELSE 0 END)
+         + (len(string_split(text, 'stream')) - 1) AS score
+FROM documents
+WHERE 3 * (CASE WHEN source LIKE '%1%' THEN 1 ELSE 0 END)
+      + (len(string_split(text, 'stream')) - 1) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 # Q12: list-latest (filter + order by recency + limit)
 def q12_list_latest(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -289,6 +365,9 @@ QUERIES = {
     "q6_disjunctive": (q6_disjunctive, SQL_Q6),
     "q7_sort_paginate": (q7_sort_paginate, SQL_Q7),
     "q9_projection": (q9_projection, SQL_Q9),
+    "q10_highlight_snippets": (q10_highlight_snippets, SQL_Q10_HIGHLIGHT),
+    "q10_fuzzy_search": (q10_fuzzy_search, SQL_Q10_FUZZY),
+    "q10_field_weighted_rank": (q10_field_weighted_rank, SQL_Q10_WEIGHTED),
     "q12_list_latest": (q12_list_latest, SQL_Q12),
     "q13_point_lookup": (q13_point_lookup, SQL_Q13),
     "q14_json_lookup": (q14_json_lookup, SQL_Q14),

@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Compute scaling efficiency from two replay runs and append the evidence
-table to BENCH/BASELINE.md.
+"""Compute scaling efficiency from the N / 2N / 4N replay runs and append
+the evidence table to BENCH/BASELINE.md.
 
-Efficiency definition (north rule, N -> 4N cores):
-    eff = (throughput_4N / throughput_N) / 4
-i.e. 1.0 = perfect linear scaling; the target is >= 0.8.
+Efficiency definition (north rule, N -> 4N executors):
+    eff(k) = (throughput_kN / throughput_N) / k
+i.e. 1.0 = perfect linear scaling; the target is >= 0.8. The N -> 2N pair
+is reported alongside because it sits inside the span this shared host
+can express reliably (see the calibration appendix in BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -15,28 +17,51 @@ import os
 import sys
 
 
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _tp(r):
+    return r["merge"].get("sustained_events_per_sec") or r["events_per_sec"]
+
+
+def _execs(r):
+    # local-cluster[n,c,m] -> n
+    m = r.get("master", "")
+    try:
+        return int(m.split("[", 1)[1].split(",")[0])
+    except (IndexError, ValueError):
+        return 1
+
+
 def main() -> int:
-    r8_path, r32_path, n_events = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    with open(r8_path) as f:
-        r8 = json.load(f)
-    with open(r32_path) as f:
-        r32 = json.load(f)
-
-    def tp(r):
-        return r["merge"].get("sustained_events_per_sec") or r["events_per_sec"]
-
-    tp8 = tp(r8)
-    tp32 = tp(r32)
-    eff = (tp32 / tp8) / 4.0
+    rs = [_load(p) for p in sys.argv[1:-1]]
+    n_events = int(sys.argv[-1])
+    rs.sort(key=_execs)
+    base = rs[0]
+    tp_base = _tp(base)
+    n_base = _execs(base)
 
     today = datetime.date.today().isoformat()
     os.makedirs("BENCH", exist_ok=True)
+
     def batches(r):
         m = r["merge"]
         return f"{m.get('sustained_batches', '—')} of {m.get('batches', '—')}"
 
-    m8 = r8.get("master", "local[N]")
-    m32 = r32.get("master", "local[4N]")
+    rows = []
+    effs = {}
+    for r in rs:
+        k = _execs(r) // n_base
+        tp = _tp(r)
+        eff = (tp / tp_base) / k if k > 1 else 1.0
+        if k > 1:
+            effs[k] = round(eff, 3)
+        rows.append(
+            f"| {r.get('master')} ({k}N) | {r['wall_sec']:.1f} | {tp:,.0f} "
+            f"| {batches(r)} | {r['final_rows']:,} | {eff:.3f} |"
+        )
 
     block = f"""
 ## Scaling run {today} — {n_events:,} events, same input log, streaming replay
@@ -45,38 +70,30 @@ Sustained events/sec from per-batch lineage over the post-warm-up
 micro-batches (first 2 batches absorb JVM class-load + JIT; a CDC tail
 job pays that once per deploy, not per batch).
 
-| cores | total wall (s) | sustained events/sec | batches measured | final rows |
-|---|---|---|---|---|
-| {m8} (N)  | {r8['wall_sec']:.1f} | {tp8:,.0f} | {batches(r8)} | {r8['final_rows']:,} |
-| {m32} (4N) | {r32['wall_sec']:.1f} | {tp32:,.0f} | {batches(r32)} | {r32['final_rows']:,} |
+| executors | total wall (s) | sustained events/sec | batches measured | final rows | efficiency vs N |
+|---|---|---|---|---|---|
+{chr(10).join(rows)}
 
-**Scaling efficiency (N -> 4N) = (tp_4N / tp_N) / 4 = {eff:.3f}**
-(target >= 0.8 per BASELINE.json). Identical input, identical job
-(`jobs/replay.py --mode stream`), via `spark-submit --py-files`.
+**Scaling efficiency: N -> 2N = {effs.get(2, float('nan')):.3f}, N -> 4N =
+{effs.get(4, float('nan')):.3f}** (target >= 0.8 per BASELINE.json; the
+N -> 2N pair sits inside the host's reliably-expressible span — see the
+calibration appendix). Identical input, identical job
+(`jobs/replay.py --mode stream`), via `spark-submit --py-files`, real
+separate executor JVMs (Spark local-cluster master: own heap, GC, and
+shuffle server each — what "N and 4N executors" means on a cluster).
 
-Why {m8} -> {m32} (N -> 4N EXECUTORS via Spark's local-cluster master):
-these are real separate executor JVMs — own heap, GC, and shuffle server
-each — which is what "N and 4N executors" means on a cluster. Scaling
-threads inside ONE local-mode JVM is not a valid proxy for executor
-scale-out: the JSON-parse hot path is allocation-heavy and a single
-shared heap serializes it on GC (measured: 4->16 threads in one JVM gave
-only ~1.1x on the parse, while 1->4 executor JVMs gave ~3.1x on the
-identical stage), and this host also overcommits CPUs above ~16 threads
-(a pure-CPU probe scales only 2.1x from 8->32 threads). All executors
-still share one machine's memory bandwidth and disk, which a real
-cluster would not — so this efficiency is a LOWER bound.
-
-Per-batch walls (ms), N:  {r8['merge'].get('per_batch_wall_ms')}
-Per-batch walls (ms), 4N: {r32['merge'].get('per_batch_wall_ms')}
+Per-batch walls (ms):
+{chr(10).join(f"* {r.get('master')}: {r['merge'].get('per_batch_wall_ms')}" for r in rs)}
 """
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(block)
     print(json.dumps({
         "events": n_events,
-        "tp_local8": tp8,
-        "tp_local32": tp32,
-        "scaling_efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "throughputs": {r.get("master"): _tp(r) for r in rs},
+        "eff_2n": effs.get(2),
+        "eff_4n": effs.get(4),
+        "pass_2n": (effs.get(2) or 0) >= 0.8,
+        "pass_4n": (effs.get(4) or 0) >= 0.8,
     }))
     return 0
 
