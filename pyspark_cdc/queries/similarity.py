@@ -157,6 +157,103 @@ SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+N_CENTROIDS = 8  # IVF coarse quantizer size (deterministic seed vectors)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    vectors with vec_id in [N_QUERIES, N_QUERIES+N_CENTROIDS)) partitions
+    the corpus into posting lists by nearest centroid; each query probes
+    ONLY its own nearest centroid's list, then exact cosine top-k ranks
+    the candidates. At 100 TB the assignment is one broadcast pass
+    (centroids are tiny) and the probe is an equi-join on centroid id —
+    no all-pairs scan. A production build would k-means the centroids;
+    the deterministic seed choice keeps the DuckDB oracle bit-exact and
+    exercises the identical plan shape."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+
+    def assign(df, vec_col, out):
+        # nearest centroid by cosine; ties break on centroid id
+        scored = df.join(F.broadcast(cent)).select(
+            *df.columns,
+            F.col("c_id"),
+            _cosine(F.col(vec_col), F.col("c_vec")).alias("c_cos"),
+        )
+        w = Window.partitionBy(*df.columns[:1]).orderBy(
+            F.col("c_cos").desc(), F.col("c_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*df.columns, F.col("c_id").alias(out))
+        )
+
+    corpus = assign(
+        emb.select("vec_id", "embedding"), "embedding", "list_id"
+    )
+    q = assign(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        "q_vec",
+        "q_list",
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("list_id") == F.col("q_list")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("q_vec"), F.col("embedding")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+
+_SQL_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+SQL_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+), corpus AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.c_id AS list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_SQL_COS.format(a='e.embedding', b='c.c_vec')} DESC, c.c_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT q_id, q_vec, q_list FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.c_id AS q_list,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_SQL_COS.format(a='e.embedding', b='c.c_vec')} DESC, c.c_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn = 1
+), scored AS (
+  SELECT q.q_id, corpus.vec_id AS neighbor_id,
+         round({_SQL_COS.format(a='q.q_vec', b='corpus.embedding')}, 4) AS cos
+  FROM corpus JOIN q ON corpus.list_id = q.q_list AND corpus.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 NEARDUP_THRESHOLD = 0.35
 NEARDUP_BAND_BITS = 6
 NEARDUP_BANDS = 2  # band b = sign bits of dims [b*6+1 .. b*6+6]
@@ -247,5 +344,6 @@ WHERE list_dot_product(va::DOUBLE[], vb::DOUBLE[])
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, SQL_BRUTEFORCE),
     "ann_lsh_topk": (ann_lsh_topk, SQL_LSH),
+    "ann_ivf_topk": (ann_ivf_topk, SQL_IVF),
     "emb_neardup_pairs": (emb_neardup_pairs, SQL_NEARDUP),
 }

@@ -83,4 +83,26 @@ def test_flagship_engine_replay_has_an_oracle(spark):
 
 def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
-    assert len(ORACLES) >= 30
+    assert len(ORACLES) >= 40
+
+
+def test_flagship_log_is_deterministic(tmp_path):
+    """The Spark query and the DuckDB oracle read the flagship log as two
+    independent programs — the pure-Python generator must produce
+    byte-identical parquet wherever/whenever it runs."""
+    import hashlib
+
+    from pyspark_cdc import pylog
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    a = pylog.ensure_flagship_log(str(tmp_path / "a"))
+    b = pylog.ensure_flagship_log(str(tmp_path / "b"))
+    assert digest(a) == digest(b)
+    # and matches the shared copy the oracle SQL points at
+    assert digest(pylog.ensure_flagship_log()) == digest(a)
