@@ -25,6 +25,18 @@ def main(argv=None) -> int:
     ap.add_argument("--log-dir", required=True, help="Kafka-shaped parquet event log")
     ap.add_argument("--table-dir", required=True, help="lake table directory")
     ap.add_argument("--mode", choices=["batch", "stream"], default="stream")
+    ap.add_argument("--source", choices=["file", "kafka"], default="file",
+                    help="stream source: the parquet file log (sandbox "
+                         "default) or a real Kafka cluster (requires the "
+                         "spark-sql-kafka package; identical downstream "
+                         "columns, nothing else changes)")
+    ap.add_argument("--brokers", help="kafka: bootstrap servers")
+    ap.add_argument("--topics", help="kafka: comma-separated topic list")
+    ap.add_argument("--max-offsets-per-trigger", type=int,
+                    help="kafka: per-batch event cap (backpressure)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="stream mode: keep tailing instead of "
+                         "drain-and-stop (availableNow)")
     ap.add_argument("--checkpoint", help="checkpoint dir (stream mode)")
     ap.add_argument("--metrics-dir", help="lineage metrics dir")
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -105,11 +117,27 @@ def main(argv=None) -> int:
         if not args.checkpoint:
             ap.error("--checkpoint is required in stream mode")
         t0 = time.monotonic()
-        q = replay_stream(
-            spark, args.log_dir, lake,
-            checkpoint_dir=args.checkpoint, metrics_dir=args.metrics_dir,
-            max_files_per_trigger=args.max_files_per_trigger,
-        )
+        if args.source == "kafka":
+            if not (args.brokers and args.topics):
+                ap.error("--source kafka requires --brokers and --topics")
+            from pyspark_cdc.sources import kafka_stream
+            from pyspark_cdc.stream import run_stream
+
+            raw = kafka_stream(
+                spark, args.brokers, args.topics,
+                max_offsets_per_trigger=args.max_offsets_per_trigger,
+            )
+            q = run_stream(
+                raw, lake, checkpoint_dir=args.checkpoint,
+                metrics_dir=args.metrics_dir,
+                available_now=not args.continuous,
+            )
+        else:
+            q = replay_stream(
+                spark, args.log_dir, lake,
+                checkpoint_dir=args.checkpoint, metrics_dir=args.metrics_dir,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         q.awaitTermination()
         stats = {"status": "stream_drained", "batches": len(lake.applied_batch_ids())}
         wall = time.monotonic() - t0
@@ -137,6 +165,18 @@ def main(argv=None) -> int:
                 stats["sustained_batches"] = len(tail)
                 stats["sustained_events"] = recs
                 stats["per_batch_wall_ms"] = [round(r["wall_ms"], 1) for r in per_batch]
+                # Consumer-lag series (north rule "throughput/lag
+                # metrics"): events still unprocessed after each batch =
+                # total log size minus cumulative ingested records. On a
+                # live Kafka source the same series comes from
+                # (log-end offsets - committed offsets) per partition.
+                total = spark.read.parquet(args.log_dir).count()
+                done = 0
+                lag = []
+                for r in per_batch:
+                    done += r["recs"]
+                    lag.append(int(total - done))
+                stats["per_batch_lag_events"] = lag
 
     # steady-state = MEDIAN wall of the post-warm-up runs: run-1
     # class-load/JIT cost is a one-off for a long-running CDC tail job;

@@ -118,6 +118,7 @@ class ParquetLake:
         n_buckets: int = 32,
         mode: str = "cow",
         compact_every: int = 10,
+        tombstone_horizon_lsn: int | None = None,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -126,6 +127,12 @@ class ParquetLake:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_every = compact_every
+        # Tombstone retention (SCALING.md section 7): a delete tombstone
+        # only needs to outlive the SOURCE's replay horizon (Kafka
+        # retention) — an older upsert can never be replayed after its
+        # offset has been retained out. Compaction drops tombstones with
+        # lsn < this horizon; None = retain forever (the safe default).
+        self.tombstone_horizon_lsn = tombstone_horizon_lsn
         self._meta_dir = os.path.join(table_dir, "_meta")
         os.makedirs(self._meta_dir, exist_ok=True)
 
@@ -567,11 +574,20 @@ class ParquetLake:
     def _compact(self, meta: dict) -> dict:
         """Fold all deltas into the base: LWW over base+deltas, rewrite
         every bucket, drop the delta list. Tombstones are RETAINED in the
-        base (they guard late-replayed older upserts); a retention policy
-        tied to the source's replay horizon would expire them here."""
+        base by default (they guard late-replayed older upserts); with
+        `tombstone_horizon_lsn` set, tombstones older than the source's
+        replay horizon are expired here — nothing older than the horizon
+        can be replayed, so the guard is no longer needed."""
         extra_cols = list(meta["extra_columns"])
         full = self._read_all(meta, extra_cols)
         merged = resolve_lww(full.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)))
+        if self.tombstone_horizon_lsn is not None:
+            merged = merged.filter(
+                ~(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    & (F.col(LSN_COL) < F.lit(self.tombstone_horizon_lsn))
+                )
+            )
 
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)

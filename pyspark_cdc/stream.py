@@ -117,6 +117,31 @@ def replay_batch(
     return process_batch(raw, batch_id, lake, MetricsWriter(metrics_dir), lww_method)
 
 
+def run_stream(
+    raw: DataFrame,
+    lake: ParquetLake,
+    checkpoint_dir: str,
+    metrics_dir: str | None = None,
+    lww_method: str = "fused",
+    available_now: bool = True,
+):
+    """Checkpointed streaming ingest over ANY Kafka-shaped source stream
+    (file log or real Kafka — the columns are identical, SURVEY.md S1/S2).
+    available_now=True drains and stops (replay/bench); False runs a
+    continuous tail job."""
+    metrics = MetricsWriter(metrics_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(batch_df, batch_id, lake, metrics, lww_method)
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_stream(
     spark: SparkSession,
     log_dir: str,
@@ -126,19 +151,8 @@ def replay_stream(
     max_files_per_trigger: int | None = None,
     lww_method: str = "fused",
 ):
-    """Checkpointed streaming replay; trigger(availableNow) drains the log
-    and stops — restart with the same checkpoint_dir to resume."""
+    """Checkpointed streaming replay of a file log; trigger(availableNow)
+    drains the log and stops — restart with the same checkpoint_dir to
+    resume."""
     raw = file_stream(spark, log_dir, max_files_per_trigger)
-
-    metrics = MetricsWriter(metrics_dir)
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_batch(batch_df, batch_id, lake, metrics, lww_method)
-
-    query = (
-        raw.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    return query
+    return run_stream(raw, lake, checkpoint_dir, metrics_dir, lww_method)

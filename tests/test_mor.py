@@ -121,6 +121,43 @@ def test_compaction_expires_snapshots_and_orphan_dirs(spark, tmp_path):
     assert _rows(cow) == _rows(mor)
 
 
+def test_tombstone_horizon_expires_old_deletes(spark, tmp_path):
+    """Tombstone retention: with tombstone_horizon_lsn set, compaction
+    drops delete tombstones older than the source's replay horizon —
+    nothing older than the horizon can be replayed, so the guard is no
+    longer needed and the table stops accumulating dead keys."""
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    def rec(value, off):
+        return {"key": None, "value": value, "topic": "t", "partition": 0, "offset": off}
+
+    def env(op, after=None, before=None, lsn=0):
+        p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn}}
+        if after is not None:
+            p["after"] = after
+        if before is not None:
+            p["before"] = before
+        return json.dumps({"payload": p})
+
+    lake = ParquetLake(
+        spark, str(tmp_path / "lake"), n_buckets=4, mode="mor",
+        compact_every=1, tombstone_horizon_lsn=10,
+    )
+    row = {"repo": "r", "path": "p", "commit": "c", "lang": "py", "content": "v1"}
+    b = spark.createDataFrame(
+        [rec(env("c", after=row, lsn=1), 1),
+         rec(env("d", before={"repo": "r", "path": "p"}, lsn=5), 2)],
+        schema=KAFKA_SHAPE,
+    )
+    process_batch(b, 0, lake)  # compact_every=1 => compaction ran
+    assert lake.read().count() == 0
+    # the lsn-5 tombstone is older than the horizon (10) => expired
+    assert lake.read(include_deleted=True).count() == 0
+
+
 def test_mor_late_older_upsert_loses_to_tombstone(spark, tmp_path):
     import json
 
