@@ -189,8 +189,14 @@ SELECT status, count(*) AS n FROM cls GROUP BY status
 
 
 def _oracle_ready(sql: str) -> str:
-    """Materialize the log before handing the SQL to the driver's DuckDB."""
-    ensure_flagship_log()
+    """Materialize the log before handing the SQL to the driver's DuckDB.
+    Best-effort at import time: a failure here must degrade to this
+    module's three oracles erroring, never to the whole registry import
+    failing (the Spark query functions re-ensure the log themselves)."""
+    try:
+        ensure_flagship_log()
+    except OSError:
+        pass
     return sql
 
 
