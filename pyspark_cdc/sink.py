@@ -454,22 +454,29 @@ class ParquetLake:
         return new_meta
 
     def merge_parsed(self, parsed: DataFrame, batch_id) -> dict:
-        """ONE-JOB merge-on-read ingest of a full parsed micro-batch (the
-        streaming hot path): the parsed rows — ALL statuses — are written
-        directly as (status, bucket)-partitioned delta files, with extras
-        still a map column. Everything the commit needs (record counts per
-        status, observed open-world keys) is collected DURING that same
-        write via the Observation API, so a micro-batch costs exactly one
-        Spark job (the previous summary-collect job re-paid the entire
-        JSON parse: measured 2x end-to-end on a 2M-event batch).
+        """ONE-JOB, ZERO-SHUFFLE merge-on-read ingest of a full parsed
+        micro-batch (the streaming hot path): the parsed rows — ALL
+        statuses — stream from the source tasks directly into
+        status-partitioned delta files, with extras still a map column.
+        Everything the commit needs (record counts per status, observed
+        open-world keys) is collected DURING that same write via the
+        Observation API, so a micro-batch costs exactly one Spark job
+        with no exchange at all. (The previous design shuffled the batch
+        onto the bucket before writing — but nothing ever consumes deltas
+        per bucket: read and compaction scan them whole, and only the
+        compacted BASE needs bucket separation for COW rewrites. Dropping
+        that shuffle measured 2.2x on a 2M-event batch; the earlier
+        summary-collect job, which re-paid the entire JSON parse, was
+        another 2x. File count per delta = O(source tasks x statuses),
+        bounded by compact_every.)
 
         Dead letters become a persisted dead-letter queue for free: the
         status=tombstone/malformed/unknown_op/bad_payload/missing_key
         partitions hold the poison records (with topic/partition/offset
         lineage) until compaction retires the delta — retention-bounded,
-        like a DLQ topic. Flattening extras into real columns and LWW
-        tombstone-nulling move to read/compaction time, where the manifest
-        already knows every observed column.
+        like a DLQ topic. Flattening extras into real columns, bucket
+        assignment, and LWW tombstone-nulling move to read/compaction
+        time, where the manifest already knows every observed column.
 
         Requires mode='mor'. Idempotent per batch_id like merge()."""
         import time as _time
@@ -482,14 +489,13 @@ class ParquetLake:
         if self._batch_applied(meta, batch_id):
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
 
-        src = parsed.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
         obs = Observation(f"merge_parsed_{batch_id}")
         status_counts = [
             F.count_if(F.col("status") == s).alias(f"n_{s}")
             for s in ("ok", "tombstone", "malformed", "unknown_op",
                       "bad_payload", "missing_key")
         ]
-        src = src.observe(
+        src = parsed.observe(
             obs,
             F.count(F.lit(1)).alias("n_records"),
             F.collect_set(F.map_keys("extras")).alias("extras_keysets"),
@@ -499,9 +505,7 @@ class ParquetLake:
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         t0 = _time.monotonic()
-        src.repartition(self.n_buckets, F.col(BUCKET_COL)).write.partitionBy(
-            "status", BUCKET_COL
-        ).mode("overwrite").parquet(out_dir)
+        src.write.partitionBy("status").mode("overwrite").parquet(out_dir)
         got = obs.get
         stats = {
             "status": "committed",
