@@ -84,3 +84,21 @@ def test_restarted_query_does_not_reapply_epochs(spark, tmp_path):
     replay_stream(spark, log_dir, lake, checkpoint_dir=ckpt).awaitTermination()
     assert _final(lake) == state
     assert lake.current_meta()["id"] == snap
+
+
+def test_replay_job_kafka_arg_validation(spark, tmp_path):
+    """jobs/replay.py --source kafka demands --brokers/--topics before
+    touching any cluster (argparse-level guard)."""
+    import pytest
+
+    sys_path_guard = str(tmp_path)  # noqa: F841 (fixture keeps tmp alive)
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "replay_job", os.path.join(os.path.dirname(__file__), "..", "jobs", "replay.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(SystemExit):
+        mod.main(["--log-dir", "/tmp/x", "--table-dir", str(tmp_path / "t"),
+                  "--mode", "stream", "--checkpoint", str(tmp_path / "c"),
+                  "--source", "kafka"])
