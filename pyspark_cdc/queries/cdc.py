@@ -244,6 +244,32 @@ FROM events GROUP BY 1
 """
 
 
+# --- T9+: event-time tumbling-window aggregation ------------------------------
+# Batch/SQL analog of windows.change_rate_stream (same grouping shape) on
+# the driver's events table: per (event_type, hour) activity rollup.
+
+
+def cdc_change_windows(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start")
+    return (
+        df.groupBy(hour, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "error").alias("n_deletes"),
+        )
+    )
+
+
+SQL_CHANGE_WINDOWS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_deletes
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- J5: ranking window (top-3 changes per key) -------------------------------
 
 
@@ -277,4 +303,5 @@ QUERIES = {
     "cdc_lineage_ranges": (cdc_lineage_ranges, SQL_LINEAGE),
     "cdc_dead_letter_counts": (cdc_dead_letter_counts, SQL_DEAD_LETTER),
     "cdc_top3_changes_per_key": (cdc_top3_changes_per_key, SQL_TOP3),
+    "cdc_change_windows": (cdc_change_windows, SQL_CHANGE_WINDOWS),
 }

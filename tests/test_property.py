@@ -1,0 +1,132 @@
+"""Property-based correctness (hypothesis): for ARBITRARY event sequences
+and ARBITRARY micro-batch splits, the engine's final table equals the
+pure-Python oracle of the reference semantics.
+
+Two invariants no example-based test can pin down as tightly:
+
+* replay equivalence — any interleaving of upserts / soft deletes / hard
+  deletes / revives / duplicates / out-of-order lsns over a small key
+  space lands on the oracle's state, per key and per column;
+* batching invariance — the SAME event list split into any number of
+  micro-batches (in any split positions) produces the SAME final state
+  as one batch (LWW max is associative; the MoR merge must not care
+  where batch boundaries fall).
+
+Spark jobs are slow per example, so the strategy space is kept small and
+examples few-but-adversarial (shrinking still works on failure).
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark_cdc import oracle
+from pyspark_cdc.schemas import KAFKA_SHAPE
+from pyspark_cdc.sink import ParquetLake
+from pyspark_cdc.stream import process_batch
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a")]
+
+# one event = (key_idx, op_kind, lsn, tx)
+_event = st.tuples(
+    st.integers(0, len(KEYS) - 1),
+    st.sampled_from(
+        ["c", "u", "r", "hard_delete", "soft_true", "soft_1", "soft_false",
+         "tombstone", "malformed", "unknown", "wrapped", "bad_payload"]
+    ),
+    st.integers(1, 40),   # lsn — small range forces collisions/ties
+    st.integers(0, 3),    # tx tie-break
+)
+_events = st.lists(_event, min_size=1, max_size=25)
+
+
+def _record(ev, offset):
+    key_idx, kind, lsn, tx = ev
+    repo, path = KEYS[key_idx]
+    if kind == "tombstone":
+        return {"key": None, "value": "", "topic": "t", "partition": 0, "offset": offset}
+    if kind == "malformed":
+        return {"key": None, "value": '{"payload": {nope', "topic": "t",
+                "partition": 0, "offset": offset}
+    payload = {"op": "x" if kind == "unknown" else None,
+               "source": {"lsn": lsn, "ts_ms": lsn}, "transaction": {"id": tx}}
+    after = {"repo": repo, "path": path, "commit": f"c{lsn}", "lang": "py",
+             "content": f"content {repo}/{path} v{lsn}.{tx}"}
+    if kind in ("c", "u", "r"):
+        payload["op"] = kind
+        payload["after"] = after
+    elif kind == "hard_delete":
+        payload["op"] = "d"
+        payload["before"] = {"repo": repo, "path": path}
+    elif kind.startswith("soft_"):
+        payload["op"] = "u"
+        after["is_delete"] = {"soft_true": True, "soft_1": "1", "soft_false": "0"}[kind]
+        payload["after"] = after
+    elif kind == "wrapped":
+        payload["op"] = "u"
+        inner = {"commit": f"w{lsn}", "lang": "go",
+                 "content": f"wrapped {repo}/{path} v{lsn}.{tx}"}
+        payload["after"] = {"repo": repo, "path": path, "payload": json.dumps(inner)}
+    elif kind == "bad_payload":
+        payload["op"] = "u"
+        payload["after"] = {"repo": repo, "path": path, "payload": "{broken"}
+    elif kind == "unknown":
+        payload["after"] = after
+    return {"key": None, "value": json.dumps({"payload": payload}), "topic": "t",
+            "partition": 0, "offset": offset}
+
+
+def _engine_state(spark, tmp_dir, batches):
+    lake = ParquetLake(spark, tmp_dir, n_buckets=4, mode="mor", compact_every=3)
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, schema=KAFKA_SHAPE)
+        process_batch(df, i, lake)
+    return {
+        (r["repo"], r["path"]): r.asDict() for r in lake.read().collect()
+    }
+
+
+def _assert_matches_oracle(got, recs):
+    exp = oracle.replay(recs)["state"]
+    assert set(got) == set(exp), (sorted(got), sorted(exp))
+    for k, erow in exp.items():
+        grow = got[k]
+        cols = set(erow) | {c for c, v in grow.items() if v is not None}
+        for c in cols:
+            assert grow.get(c) == erow.get(c), (k, c, grow.get(c), erow.get(c))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events)
+def test_any_event_sequence_matches_oracle(spark, tmp_path_factory, evs):
+    recs = [_record(e, off) for off, e in enumerate(evs)]
+    tmp = str(tmp_path_factory.mktemp("prop_lake"))
+    got = _engine_state(spark, tmp, [recs])
+    _assert_matches_oracle(got, recs)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events, data=st.data())
+def test_batch_split_invariance(spark, tmp_path_factory, evs, data):
+    recs = [_record(e, off) for off, e in enumerate(evs)]
+    n_splits = data.draw(st.integers(0, min(3, len(recs) - 1)), label="n_splits")
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, max(1, len(recs) - 1)),
+                     min_size=n_splits, max_size=n_splits),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(recs)]:
+        if recs[prev:c]:
+            batches.append(recs[prev:c])
+        prev = c
+    tmp = str(tmp_path_factory.mktemp("prop_lake"))
+    got = _engine_state(spark, tmp, batches)
+    _assert_matches_oracle(got, recs)

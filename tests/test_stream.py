@@ -102,3 +102,72 @@ def test_replay_job_kafka_arg_validation(spark, tmp_path):
         mod.main(["--log-dir", "/tmp/x", "--table-dir", str(tmp_path / "t"),
                   "--mode", "stream", "--checkpoint", str(tmp_path / "c"),
                   "--source", "kafka"])
+
+
+def test_windowed_change_rate_with_watermark(spark, tmp_path):
+    """T9+: the watermarked tumbling-window aggregation runs as a REAL
+    Structured Streaming query (append mode, availableNow). The log
+    arrives in event-time order across three micro-batches (file mtimes
+    force discovery order), so: every window emitted by the stream equals
+    the batch computation, windows beyond the final watermark stay
+    unemitted (append semantics), and state for passed windows was
+    evicted rather than kept forever."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc import generate
+    from pyspark_cdc.parse import parse_envelopes
+    from pyspark_cdc.sources import file_batch, file_stream
+    from pyspark_cdc.windows import change_rate_stream
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    # one log, split into three event-time-ordered slices (lsn == ts_ms):
+    # slice i covers [1000+i*1000, 1000+(i+1)*1000) ms
+    full = generate.bulk_events_df(
+        spark, n_events=3_000, n_keys=300, seed=7, n_partitions=1
+    )
+    # force discovery order = slice order (FileStreamSource sorts by mtime)
+    base = _time.time() - 600
+    seen: set[str] = set()
+    for i in range(3):
+        lo, hi = 1_000 + i * 1_000, 1_000 + (i + 1) * 1_000
+        (full.filter((F.col("offset") >= lo) & (F.col("offset") < hi))
+             .coalesce(1).write.mode("append").parquet(log_dir))
+        new = {f for f in os.listdir(log_dir) if f.endswith(".parquet")} - seen
+        assert len(new) == 1
+        os.utime(os.path.join(log_dir, new.pop()), (base + i * 30, base + i * 30))
+        seen = {f for f in os.listdir(log_dir) if f.endswith(".parquet")}
+
+    kw = dict(window="500 milliseconds", watermark="200 milliseconds")
+    agg_stream = change_rate_stream(
+        parse_envelopes(file_stream(spark, log_dir, max_files_per_trigger=1)), **kw
+    )
+    q = (
+        agg_stream.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["window_start_ms"], r["route"]): (r["n_changes"], r["n_deletes"])
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+
+    batch = {
+        (r["window_start_ms"], r["route"]): (r["n_changes"], r["n_deletes"])
+        for r in change_rate_stream(
+            parse_envelopes(file_batch(spark, log_dir)), **kw
+        ).collect()
+    }
+
+    assert streamed, "no window emitted -- watermark never advanced"
+    for k, v in streamed.items():
+        assert batch[k] == v, k
+    # append mode: only watermark-passed windows emit, so streamed < batch
+    assert set(streamed) < set(batch)
