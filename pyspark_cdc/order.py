@@ -1,4 +1,4 @@
-"""J1: per-key last-writer-wins ordering by (lsn, tx_id, ts_ms).
+"""J1: per-key last-writer-wins ordering by (lsn, tx_id, ts_ms, offset).
 
 The reference gets ordering implicitly from Kafka partition order
 (sync.go:36-43 sequential iteration over PK-keyed topics); micro-batches
@@ -27,9 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .schemas import KEY_COLS, LSN_COL, TS_COL, TX_COL
+from .schemas import KEY_COLS, LSN_COL, OFFSET_COL, TS_COL, TX_COL
 
-ORD_COLS = [LSN_COL, TX_COL, TS_COL]
+ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
 
 # Columns carried through LWW into the MERGE.
 CARRY_COLS = ["effective_op", "commit", "lang", "content", "extras", "route", *ORD_COLS]

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .schemas import DOMAIN_COLS, LSN_COL, TS_COL, TX_COL
+from .schemas import DOMAIN_COLS, LSN_COL, OFFSET_COL, TS_COL, TX_COL
 
 # Keys of `after` that are NOT open-world extras. `route` is reserved:
 # it is the sink's routing-identity column (P8), so a payload field of
@@ -236,6 +236,10 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         F.coalesce(p.getField("source").getField("lsn"), F.lit(0)).alias(LSN_COL),
         F.coalesce(p.getField("transaction").getField("id"), F.lit(0)).alias(TX_COL),
         F.coalesce(p.getField("source").getField("ts_ms"), F.lit(0)).alias(TS_COL),
+        # Kafka arrival order as the final LWW tie-break (the reference's
+        # implicit ordering); duplicated under the internal name so the
+        # ordering key travels with the row while `offset` stays lineage.
+        F.coalesce(F.col("offset"), F.lit(0)).alias(OFFSET_COL),
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),

@@ -44,9 +44,15 @@ SINK_BASE_SCHEMA = T.StructType(
 LSN_COL = "__lsn"
 TX_COL = "__tx_id"
 TS_COL = "__ts_ms"
+# Kafka arrival order — the reference's implicit ordering — is the FINAL
+# tie-break: two events with identical (lsn, tx, ts) resolve by offset,
+# exactly as the consumer loop would apply them (caught by the
+# hypothesis property suite: an exact-tie delete-then-create pair must
+# end with the create).
+OFFSET_COL = "__offset"
 DELETED_COL = "__deleted"  # tombstone retention => replay-safe LSN guard
 
-INTERNAL_COLS = [LSN_COL, TX_COL, TS_COL, DELETED_COL]
+INTERNAL_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL, DELETED_COL]
 
 # ---------------------------------------------------------------------------
 # Debezium envelope

@@ -55,7 +55,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .schemas import DELETED_COL, DOMAIN_COLS, KEY_COLS, LSN_COL, TS_COL, TX_COL
+from .schemas import (DELETED_COL, DOMAIN_COLS, KEY_COLS, LSN_COL, OFFSET_COL,
+                      TS_COL, TX_COL)
 
 BUCKET_COL = "__bucket"
 # Routing identity (SURVEY.md P8): the per-record index identity of the
@@ -64,7 +65,7 @@ BUCKET_COL = "__bucket"
 # source table/topic), so carrying it as a value through the key-wise
 # MERGE is equivalent to keying by it.
 ROUTE_COL = "route"
-ORD_COLS = [LSN_COL, TX_COL, TS_COL]
+ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
 INTERNAL = [*ORD_COLS, DELETED_COL]
 # out-of-order applied-batch-id window kept above the watermark
 RECENT_BATCH_WINDOW = 1024
@@ -78,7 +79,9 @@ def bucket_expr(n_buckets: int):
 
 def resolve_lww(df: DataFrame) -> DataFrame:
     """Per-key last-writer-wins over any mix of row versions: max_by of the
-    full row by (lsn, tx_id, ts_ms). Used by the COW merge aggregation and
+    full row by (lsn, tx_id, ts_ms, offset) — Kafka arrival order is the
+    final tie-break, exactly as the reference's sequential consumer loop
+    would apply an exact-tie pair. Used by the COW merge aggregation and
     by the MoR read path — max is associative, so resolving at write time,
     at compaction, or at read time yields the identical winner."""
     non_key = [c for c in df.columns if c not in KEY_COLS]
@@ -148,6 +151,12 @@ class ParquetLake:
         with open(cp) as f:
             snap_id = f.read().strip()
         with open(os.path.join(self._meta_dir, f"snap-{snap_id}.json")) as f:
+            return json.load(f)
+
+    def snapshot_meta(self, snapshot_id: int) -> dict:
+        """Manifest of a historical snapshot (within the expire_snapshots
+        retention window) — the time-travel entry point."""
+        with open(os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")) as f:
             return json.load(f)
 
     def _commit_snapshot(self, meta: dict) -> None:
@@ -232,6 +241,7 @@ class ParquetLake:
             T.StructField(LSN_COL, T.LongType(), True),
             T.StructField(TX_COL, T.LongType(), True),
             T.StructField(TS_COL, T.LongType(), True),
+            T.StructField(OFFSET_COL, T.LongType(), True),
             T.StructField(DELETED_COL, T.BooleanType(), True),
             T.StructField(BUCKET_COL, T.LongType(), True),
         ]
@@ -338,6 +348,7 @@ class ParquetLake:
             F.col(LSN_COL),
             F.col(TX_COL),
             F.col(TS_COL),
+            F.col(OFFSET_COL),
             (F.col("effective_op") == "d").alias(DELETED_COL),
             F.col(BUCKET_COL),
         )
@@ -572,6 +583,7 @@ class ParquetLake:
             F.col(LSN_COL),
             F.col(TX_COL),
             F.col(TS_COL),
+            F.col(OFFSET_COL),
             deleted.alias(DELETED_COL),
         )
 
@@ -707,8 +719,21 @@ class ParquetLake:
 
     # ---------------- read path ----------------
 
-    def read(self, include_deleted: bool = False, include_internal: bool = False) -> DataFrame:
-        meta = self.current_meta()
+    def read(
+        self,
+        include_deleted: bool = False,
+        include_internal: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Final table state; snapshot_id time-travels to any snapshot the
+        retention window still holds (Iceberg VERSION AS OF analog —
+        snapshots are immutable and data files are only removed by
+        expire_snapshots once no retained snapshot references them)."""
+        meta = (
+            self.snapshot_meta(snapshot_id)
+            if snapshot_id is not None
+            else self.current_meta()
+        )
         extra_cols = list(meta["extra_columns"]) if meta else []
         if not meta or (not meta["buckets"] and not meta.get("deltas")):
             df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)

@@ -121,6 +121,76 @@ def test_compaction_expires_snapshots_and_orphan_dirs(spark, tmp_path):
     assert _rows(cow) == _rows(mor)
 
 
+def test_crash_between_delta_write_and_commit_is_safe(spark, tmp_path):
+    """A crash AFTER the delta write but BEFORE the manifest commit
+    leaves an orphan data dir and no snapshot; Structured Streaming
+    retries the epoch, whose write (mode=overwrite on the same next
+    snapshot id) replaces the orphan — final state is exact."""
+    import json as _json
+    import os as _os
+
+    from pyspark_cdc.oracle import replay
+    from pyspark_cdc.stream import process_batch
+
+    log_dir = _write_log(spark, tmp_path, n=800, files=2)
+    recs = [r.asDict() for r in spark.read.parquet(log_dir).collect()]
+    b = spark.createDataFrame(recs, schema=spark.read.parquet(log_dir).schema)
+
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=8, mode="mor")
+    # simulate the crashed first attempt: a partial delta dir for the
+    # snapshot id the retry will use, containing garbage
+    orphan = _os.path.join(str(tmp_path / "mor"), "data", "d1", "status=ok")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-corrupt.parquet"), "w") as f:
+        f.write("not a parquet file")
+
+    process_batch(b, 0, mor)  # the retry
+    got = _rows(mor)
+    exp = replay(recs)["state"]
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k].get("content") == exp[k].get("content"), k
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """read(snapshot_id=N) returns the table exactly as of snapshot N
+    (VERSION AS OF analog) for any snapshot inside the retention window."""
+    log_dir = _write_log(spark, tmp_path, n=1_500, files=3)
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=8, mode="mor")
+    q = replay_stream(
+        spark, log_dir, mor, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    current = mor.current_meta()["id"]
+    assert current >= 3
+
+    # state as of snapshot 1 = replaying only batch 0 into a fresh lake;
+    # the checkpoint's source log records exactly which file batch 0 read
+    import json as _json
+
+    src_log = tmp_path / "ckpt" / "sources" / "0" / "0"
+    batch0_files = [
+        _json.loads(line)["path"]
+        for line in src_log.read_text().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(batch0_files) == 1
+    first_batch = ParquetLake(spark, str(tmp_path / "fb"), n_buckets=8, mode="mor")
+    b0 = spark.read.schema(spark.read.parquet(log_dir).schema).parquet(
+        *batch0_files
+    )
+    from pyspark_cdc.stream import process_batch
+    process_batch(b0, 0, first_batch)
+
+    past = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in mor.read(snapshot_id=1).collect()
+    }
+    assert past == _rows(first_batch)
+    assert _rows(mor) != past  # and the table did move on
+
+
 def test_tombstone_horizon_expires_old_deletes(spark, tmp_path):
     """Tombstone retention: with tombstone_horizon_lsn set, compaction
     drops delete tombstones older than the source's replay horizon —
