@@ -35,7 +35,8 @@ _event = st.tuples(
     st.integers(0, len(KEYS) - 1),
     st.sampled_from(
         ["c", "u", "r", "hard_delete", "soft_true", "soft_1", "soft_false",
-         "tombstone", "malformed", "unknown", "wrapped", "bad_payload"]
+         "tombstone", "malformed", "unknown", "wrapped", "bad_payload",
+         "doc_submap"]
     ),
     st.integers(1, 40),   # lsn — small range forces collisions/ties
     st.integers(0, 3),    # tx tie-break
@@ -73,6 +74,14 @@ def _record(ev, offset):
     elif kind == "bad_payload":
         payload["op"] = "u"
         payload["after"] = {"repo": repo, "path": path, "payload": "{broken"}
+    elif kind == "doc_submap":
+        payload["op"] = "u"
+        payload["after"] = {
+            "repo": repo,
+            "path": path,
+            "doc": {"commit": f"d{lsn}", "lang": "rs",
+                    "content": f"doc {repo}/{path} v{lsn}.{tx}"},
+        }
     elif kind == "unknown":
         payload["after"] = after
     return {"key": None, "value": json.dumps({"payload": payload}), "topic": "t",
