@@ -214,6 +214,130 @@ FROM per_doc GROUP BY 1
 """
 
 
+# --- SimHash Hamming-distance neighbor search --------------------------------------
+
+HAMMING_K = 3  # max bit distance for a near-dup pair
+SIMHASH_BANDS = 4  # 4 bands x 4 bits; hamming<=3 => >=1 band identical (pigeonhole)
+
+
+def _simhash_per_doc(spark, sf_dir):
+    docs = _docs_spread(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = F.md5(F.col("t"))
+    bits = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        )
+        for b in range(16)
+    ]
+    return tok.groupBy("doc_id").agg(
+        F.concat(
+            *[F.when(bit > 0, F.lit("1")).otherwise(F.lit("0")) for bit in bits]
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup NEIGHBOR search (not just exact collisions): the
+    16-bit fingerprint splits into 4 bands of 4 bits; by pigeonhole any
+    pair within Hamming distance <= 3 shares at least one identical band,
+    so candidates come from a per-band equi-join — no all-pairs scan —
+    and the exact bit distance filters the candidates. Output: pairs with
+    their distance (distance 0 = the exact-collision clusters the plain
+    simhash operator reports).
+
+    Scale sizing: per-band bucket population is ~N / 2^band_bits, so the
+    band width must grow with the corpus — at web scale use a 64-bit
+    fingerprint with 4 x 16-bit bands (buckets ~N/65536; same k<=3
+    pigeonhole guarantee). The 16-bit/4-bit shape here matches the
+    engine-portable md5-hex-digit construction and the driver corpus;
+    the plan shape (band equi-join + exact distance filter) is identical
+    at any width."""
+    per_doc = _simhash_per_doc(spark, sf_dir)
+    stacked = per_doc.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.substring("simhash", b * 4 + 1, 4).alias(f"band{b}")
+            for b in range(SIMHASH_BANDS)
+        ],
+    ).selectExpr(
+        "doc_id",
+        "simhash",
+        "stack({n}, {args}) AS (band_idx, band_val)".format(
+            n=SIMHASH_BANDS,
+            args=", ".join(f"{b}, band{b}" for b in range(SIMHASH_BANDS)),
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    hamming = sum(
+        (
+            F.substring(F.col("a_sim"), i + 1, 1)
+            != F.substring(F.col("b_sim"), i + 1, 1)
+        ).cast("int")
+        for i in range(16)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("a_sim"),
+            F.col("b.simhash").alias("b_sim"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= HAMMING_K)
+
+
+def _sql_simhash_hamming() -> str:
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN sum(CASE WHEN substring(md5(t), {p}, 1) >= '8' THEN 1 ELSE -1 END) > 0"
+        " THEN '1' ELSE '0' END AS bit{b}".format(p=b + 1, b=b)
+        for b in range(16)
+    )
+    concat = " || ".join(f"bit{b}" for b in range(16))
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band_idx,"
+        f" substring(simhash, {b * 4 + 1}, 4) AS band_val FROM per_doc"
+        for b in range(SIMHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substring(a_sim, {i + 1}, 1) <> substring(b_sim, {i + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), perbit AS (
+  SELECT doc_id,
+         {bit_exprs}
+  FROM tok GROUP BY doc_id
+), per_doc AS (
+  SELECT doc_id, {concat} AS simhash FROM perbit
+), stacked AS (
+{unions}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS a_sim, b.simhash AS b_sim
+  FROM stacked a JOIN stacked b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({hamming}) AS hamming
+FROM cand WHERE ({hamming}) <= {HAMMING_K}
+"""
+
+
 # --- n-gram Jaccard ----------------------------------------------------------------
 
 
@@ -287,5 +411,6 @@ QUERIES = {
     "dedup_exact": (dedup_exact, SQL_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_bands()),
     "dedup_simhash": (dedup_simhash, _sql_simhash()),
+    "dedup_simhash_hamming": (dedup_simhash_hamming, _sql_simhash_hamming()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _sql_ngram_jaccard()),
 }
