@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int)
     ap.add_argument("--generate", type=int, metavar="N_EVENTS",
                     help="synthesize a deterministic event log first")
+    ap.add_argument("--fresh", action="store_true",
+                    help="batch mode: replace a pre-existing lake at "
+                         "--table-dir (and warm dirs) instead of refusing; "
+                         "without it a table that already has a manifest is "
+                         "an error rather than a silent destroy")
     ap.add_argument("--runs", type=int, default=1,
                     help="batch mode: replay N times into fresh lakes; the "
                          "first run pays JVM JIT warm-up (one-off for a "
@@ -93,8 +98,15 @@ def main(argv=None) -> int:
         for r in range(1, args.runs + 1):
             run_dir = args.table_dir if r == args.runs else f"{args.table_dir}_warm{r}"
             # a pre-existing manifest would turn every merge into
-            # skipped_duplicate_batch and silently measure no-ops
+            # skipped_duplicate_batch and silently measure no-ops — but
+            # destroying a user's lake needs explicit opt-in (--fresh)
             if os.path.exists(os.path.join(run_dir, "_meta", "current")):
+                if not args.fresh:
+                    ap.error(
+                        f"table dir {run_dir} already holds a lake manifest; "
+                        "pass --fresh to replace it (batch replay would "
+                        "otherwise skip every batch as a duplicate)"
+                    )
                 _shutil.rmtree(run_dir, ignore_errors=True)
             if r == args.runs:
                 lake = run_lake = ParquetLake(
@@ -166,17 +178,24 @@ def main(argv=None) -> int:
                 stats["sustained_events"] = recs
                 stats["per_batch_wall_ms"] = [round(r["wall_ms"], 1) for r in per_batch]
                 # Consumer-lag series (north rule "throughput/lag
-                # metrics"): events still unprocessed after each batch =
-                # total log size minus cumulative ingested records. On a
-                # live Kafka source the same series comes from
-                # (log-end offsets - committed offsets) per partition.
-                total = spark.read.parquet(args.log_dir).count()
-                done = 0
-                lag = []
-                for r in per_batch:
-                    done += r["recs"]
-                    lag.append(int(total - done))
-                stats["per_batch_lag_events"] = lag
+                # metrics"): events still unprocessed after each batch.
+                if args.source == "kafka":
+                    # file log absent/unrelated here — lag comes from the
+                    # streaming progress' log-end-vs-processed offsets.
+                    lp = q.lastProgress or {}
+                    srcs = lp.get("sources") or []
+                    if srcs:
+                        stats["kafka_latest_offset"] = srcs[0].get("latestOffset")
+                        stats["kafka_end_offset"] = srcs[0].get("endOffset")
+                else:
+                    # total log size minus cumulative ingested records
+                    total = spark.read.parquet(args.log_dir).count()
+                    done = 0
+                    lag = []
+                    for r in per_batch:
+                        done += r["recs"]
+                        lag.append(int(total - done))
+                    stats["per_batch_lag_events"] = lag
 
     # steady-state = MEDIAN wall of the post-warm-up runs: run-1
     # class-load/JIT cost is a one-off for a long-running CDC tail job;
@@ -190,7 +209,10 @@ def main(argv=None) -> int:
     else:
         steady = wall
 
-    n_events = spark.read.parquet(args.log_dir).count()
+    if args.mode == "stream" and args.source == "kafka":
+        n_events = stats.get("sustained_events")  # no file log to count
+    else:
+        n_events = spark.read.parquet(args.log_dir).count()
     n_rows = lake.read().count()
     out = {
         "mode": args.mode,
@@ -198,8 +220,8 @@ def main(argv=None) -> int:
         "wall_sec": steady,
         "run_walls_sec": run_walls,
         "n_events": n_events,
-        "events_per_sec": round(n_events / steady, 1) if steady > 0 else None,
-        "events_per_sec_cold": round(n_events / run_walls[0], 1) if run_walls[0] > 0 else None,
+        "events_per_sec": round(n_events / steady, 1) if n_events and steady > 0 else None,
+        "events_per_sec_cold": round(n_events / run_walls[0], 1) if n_events and run_walls[0] > 0 else None,
         "final_rows": n_rows,
         "snapshot": (lake.current_meta() or {}).get("id"),
         "merge": stats,

@@ -361,6 +361,32 @@ def edge_case_events() -> list[dict]:
         35,
     )
 
+    # 23. flat is_delete present-but-JSON-NULL next to an inner "true":
+    # the reference copies the flat nil value last (sync.go:237-239),
+    # which is non-truthy => the upsert STANDS. The null must OVERRIDE
+    # the inner value, not fall through to it.
+    add(
+        _env(
+            "u",
+            {
+                "repo": "edge/r22",
+                "path": "v.py",
+                "is_delete": None,
+                "payload": json.dumps(
+                    {
+                        "commit": f"{36:040d}",
+                        "lang": "py",
+                        "content": "content of edge/r22/v.py v36",
+                        "is_delete": "true",
+                    }
+                ),
+            },
+            lsn=36,
+        ),
+        k("edge/r22", "v.py"),
+        36,
+    )
+
     # 6. duplicate replay: lsn 1-3 repeated verbatim (at-least-once)
     ev.append(_rec(_env("c", _after("edge/r1", "a.py", 1), lsn=1), k("edge/r1", "a.py"), 1))
     ev.append(_rec(_env("u", _after("edge/r1", "a.py", 2), lsn=2), k("edge/r1", "a.py"), 2))

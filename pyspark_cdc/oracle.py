@@ -53,18 +53,25 @@ def _truthy_delete(v: Any) -> bool:
     return isinstance(v, str) and v.lower() in ("true", "1")
 
 
-def extract_doc(after: dict) -> dict | None:
-    """sync.go:198-245 exactly. Returns None when the record must be
-    SKIPPED (string payload that fails to parse as a JSON object —
-    sync.go:208-210 returns an error and the consumer loop drops the
-    record).
+def extract_doc(after: dict, engine_exact: bool = True) -> dict | None:
+    """sync.go:198-245. Returns None when the record must be SKIPPED
+    (string payload that fails to parse as a JSON object — sync.go:208-210
+    returns an error and the consumer loop drops the record).
 
     Selection (sync.go:204-222): a present `payload` key REPLACES the flat
     after image (string -> must parse to an object, object -> taken as-is,
     any other type -> empty doc); else a `doc` sub-map is unwrapped; else
     the flat after image is the doc. Carry-over (sync.go:226-245): the key
     fields fall back to the flat image, and a flat `is_delete` overrides
-    the inner one."""
+    the inner one.
+
+    engine_exact (default): an inline NON-STRING scalar/array payload
+    (e.g. {"payload": 42} or {"payload": [1,2]}) is classified a skip,
+    matching the Spark engine's 'bad_payload' status — in the engine's
+    map<string,string> encoding that shape is indistinguishable from the
+    same text inside a string (parse.py documents the divergence). Pass
+    engine_exact=False for reference-exact Go behavior (empty doc,
+    sync.go:216-217). Neither shape occurs in real Debezium output."""
     if "payload" in after:
         p = after["payload"]
         if isinstance(p, str):
@@ -77,8 +84,12 @@ def extract_doc(after: dict) -> dict | None:
             doc = dict(parsed)
         elif isinstance(p, dict):
             doc = dict(p)
-        else:
+        elif p is None or not engine_exact:
+            # present-but-null payload => empty doc in BOTH modes
+            # (sync.go:216; the engine's coalesce(inner, empty_map) agrees)
             doc = {}
+        else:
+            return None
     elif isinstance(after.get("doc"), dict):
         doc = dict(after["doc"])
     else:

@@ -34,21 +34,45 @@ ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
 # Columns carried through LWW into the MERGE.
 CARRY_COLS = ["effective_op", "commit", "lang", "content", "extras", "route", *ORD_COLS]
 
+_SIGN_BIT = -(1 << 63)
+
+
+def packed_ord(cols: list[str] = ORD_COLS):
+    """The 4-field ordering tuple packed into ONE 32-byte big-endian BINARY
+    whose unsigned lexicographic order equals the tuple's signed
+    lexicographic order: each long's sign bit is flipped (an
+    order-preserving signed->unsigned bijection over the full long domain,
+    though every ordering field here is non-negative by construction), then
+    fixed-width hex-encoded and concatenated. One memcmp replaces the
+    4-field struct walk in the LWW max_by comparator.
+
+    Scope note (PLANS.md "fused LWW+MERGE"): the aggregate remains
+    SortAggregate regardless — ANY built-in ordered-selection aggregate
+    that carries a row struct (max_by, max(struct)) has an immutable
+    UnsafeRow buffer, and the measured two-phase alternative that does get
+    a HashAggregate (per-key max of this packed scalar + shuffle-hash
+    join back) is ~2.5x slower end-to-end because it re-shuffles the full
+    rows a second time. The packed key is kept for the cheaper comparator
+    and the simpler ordering contract."""
+    parts = [
+        F.lpad(F.hex(F.col(c).bitwiseXOR(F.lit(_SIGN_BIT))), 16, "0") for c in cols
+    ]
+    return F.unhex(F.concat(*parts))
+
 
 def _ok_only(parsed: DataFrame) -> DataFrame:
     return parsed.filter(F.col("status") == "ok")
 
 
 def lww_aggregate(parsed: DataFrame) -> DataFrame:
-    """One hash-agg LWW: max_by(row-struct, ordering-struct). Struct
-    comparison is lexicographic, so (lsn, tx_id, ts_ms) orders exactly as
-    the oracle's sort key."""
+    """One-shuffle LWW: max_by(row-struct, packed ordering scalar); the
+    packed binary orders exactly as the oracle's (lsn, tx_id, ts_ms,
+    offset) sort key."""
     ok = _ok_only(parsed)
     row = F.struct(*[F.col(c) for c in CARRY_COLS])
-    ordk = F.struct(*[F.col(c) for c in ORD_COLS])
     return (
         ok.groupBy(*KEY_COLS)
-        .agg(F.max_by(row, ordk).alias("_w"))
+        .agg(F.max_by(row, packed_ord()).alias("_w"))
         .select(*KEY_COLS, "_w.*")
     )
 

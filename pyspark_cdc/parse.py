@@ -185,10 +185,19 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
     path = key_field("path")
 
     # P7: is_delete truthiness; a flat after.is_delete overrides the inner
-    # one (sync.go:237-239 copies base's value into doc last).
-    is_del_raw = F.coalesce(
-        F.element_at(after_map, "is_delete"), from_doc("is_delete")
+    # one (sync.go:237-239 copies base's value into doc last). The
+    # override is gated on key PRESENCE, not value non-nullness: a flat
+    # {"is_delete": null} next to an inner "true" means NOT deleted (the
+    # reference copies the nil value last, which is non-truthy), so
+    # coalescing over the flat value would wrongly fall through to the
+    # inner one. from_json keeps null-valued keys in the map, so
+    # map_contains_key sees them.
+    flat_has_is_del = after_map.isNotNull() & F.map_contains_key(
+        after_map, "is_delete"
     )
+    is_del_raw = F.when(
+        flat_has_is_del, F.element_at(after_map, "is_delete")
+    ).otherwise(from_doc("is_delete"))
     is_del = F.lower(F.coalesce(is_del_raw, F.lit("false"))).isin("true", "1")
 
     known_op = op.isin("c", "r", "u", "d")

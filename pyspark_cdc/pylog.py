@@ -24,7 +24,7 @@ import os
 
 from .generate import BULK_LSN_BASE, _after, _env, _rec, edge_case_events, topic_for
 
-FLAGSHIP_VERSION = 1
+FLAGSHIP_VERSION = 2  # v2: edge case 23 (flat null is_delete override)
 FLAGSHIP_N_EVENTS = 8_000
 FLAGSHIP_N_KEYS = 500
 FLAGSHIP_SEED = 11

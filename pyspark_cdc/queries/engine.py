@@ -93,10 +93,15 @@ WITH raw AS (
     json_extract_string(doc, '$.branch') AS branch,
     topic AS route,
     op, lsn, tx, ts, "offset",
+    -- flat is_delete overrides the inner one on key PRESENCE (a flat JSON
+    -- null is non-truthy and must NOT fall through to the inner value):
+    -- json_type(j,'$.k') is SQL NULL only when the key is absent
     (op = 'd'
-     OR lower(COALESCE(json_extract_string(after, '$.is_delete'),
-                       json_extract_string(doc, '$.is_delete'),
-                       'false')) IN ('true', '1')) AS is_del
+     OR lower(COALESCE(
+          CASE WHEN json_type(after, '$.is_delete') IS NOT NULL
+               THEN COALESCE(json_extract_string(after, '$.is_delete'), 'false')
+               ELSE json_extract_string(doc, '$.is_delete') END,
+          'false')) IN ('true', '1')) AS is_del
   FROM env
 ), keyed AS (
   SELECT * FROM rows_all

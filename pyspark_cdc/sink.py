@@ -79,17 +79,19 @@ def bucket_expr(n_buckets: int):
 
 def resolve_lww(df: DataFrame) -> DataFrame:
     """Per-key last-writer-wins over any mix of row versions: max_by of the
-    full row by (lsn, tx_id, ts_ms, offset) — Kafka arrival order is the
-    final tie-break, exactly as the reference's sequential consumer loop
-    would apply an exact-tie pair. Used by the COW merge aggregation and
-    by the MoR read path — max is associative, so resolving at write time,
-    at compaction, or at read time yields the identical winner."""
+    full row by the packed (lsn, tx_id, ts_ms, offset) ordering scalar
+    (order.packed_ord) — Kafka arrival order is the final tie-break,
+    exactly as the reference's sequential consumer loop would apply an
+    exact-tie pair. Used by the COW merge aggregation and by the MoR read
+    path — max is associative, so resolving at write time, at compaction,
+    or at read time yields the identical winner."""
+    from .order import packed_ord
+
     non_key = [c for c in df.columns if c not in KEY_COLS]
     row = F.struct(*[F.col(c) for c in non_key])
-    ordk = F.struct(*[F.col(c) for c in ORD_COLS])
     return (
         df.groupBy(*KEY_COLS)
-        .agg(F.max_by(row, ordk).alias("_w"))
+        .agg(F.max_by(row, packed_ord(ORD_COLS)).alias("_w"))
         .select(*KEY_COLS, "_w.*")
     )
 
@@ -195,9 +197,9 @@ class ParquetLake:
     @staticmethod
     def _with_batch(meta: dict, batch_id) -> dict:
         """New (wm, recent) after applying batch_id. If the recent window
-        ever overflows RECENT_BATCH_WINDOW, the lowest ids are dropped —
-        safe direction: a dropped id re-applies as a duplicate delta,
-        which the LWW merge is content-idempotent against (max is
+        ever overflows RECENT_BATCH_WINDOW, the NUMERICALLY lowest ids are
+        dropped — safe direction: a dropped id re-applies as a duplicate
+        delta, which the LWW merge is content-idempotent against (max is
         duplicate-insensitive), whereas the other direction would skip
         data."""
         if "batch_ids" in meta:  # migrate pre-watermark manifest
@@ -210,7 +212,14 @@ class ParquetLake:
             recent.discard(wm)
         recent = {b for b in recent if not (isinstance(b, int) and b <= wm)}
         if len(recent) > RECENT_BATCH_WINDOW:
-            keep = sorted(recent, key=str)[-RECENT_BATCH_WINDOW:]
+            # numeric-aware ordering: int ids compare by value (str sorting
+            # would drop '999' in favor of '1000'); non-int ids sort after
+            # ints so they are preferentially retained (rare, can't advance
+            # the watermark anyway).
+            keep = sorted(
+                recent,
+                key=lambda b: (isinstance(b, int) is False, b if isinstance(b, int) else str(b)),
+            )[-RECENT_BATCH_WINDOW:]
             recent = set(keep)
         out = {k: v for k, v in meta.items() if k != "batch_ids"}
         out["batch_wm"] = wm

@@ -176,6 +176,14 @@ def test_flat_is_delete_overrides_inner(spark):
         spark, _env("u", {"repo": "a", "path": "b", "payload": inner_del})
     )
     assert (r["status"], r["effective_op"]) == ("ok", "d")
+    # flat is_delete present-but-JSON-NULL also overrides (the reference
+    # copies the nil value last, which is non-truthy => upsert): the
+    # override is gated on key PRESENCE, not value non-nullness
+    r = _parse_one(
+        spark,
+        _env("u", {"repo": "a", "path": "b", "is_delete": None, "payload": inner_del}),
+    )
+    assert (r["status"], r["effective_op"]) == ("ok", "u")
 
 
 def test_extras_capture_unknown_columns(spark):
