@@ -150,6 +150,49 @@ SQL_ENGINE_ROUTES = _replay_sql(
 )
 
 
+# --- cdc_engine_tenant_state: the route-PRUNED read path (Q11) --------------
+
+# One tenant's topic (generate.TOPICS[0]); the Spark side goes through
+# ParquetLake.read(route=...) — manifest bucket/delta pruning + route
+# PartitionFilters on the scan (the analog of querying one per-tenant
+# Meilisearch index, handler.go:34-44) — while the oracle replays
+# everything and filters. Equality proves pruning loses no rows and leaks
+# no other tenant's rows.
+_TENANT_ROUTE = "cdc.public.repo_files"
+
+
+def cdc_engine_tenant_state(spark, sf_dir):
+    from ..flagship import flagship_lake
+
+    out = flagship_lake(spark).read(route=_TENANT_ROUTE)
+    return out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+SQL_ENGINE_TENANT = _replay_sql(
+    f"SELECT * FROM final WHERE route = '{_TENANT_ROUTE}'"
+)
+
+
+# --- cdc_engine_schema_evolution: promoted open-world column (north rule) ---
+
+
+def cdc_engine_schema_evolution(spark, sf_dir):
+    """Final-state rows of the `branch` column, which exists ONLY because
+    mid-log envelopes started carrying it (extras -> promoted lake column;
+    the driver-checkable evidence for additive schema evolution beyond
+    pytest)."""
+    return (
+        flagship_replay(spark)
+        .filter(F.col("branch").isNotNull())
+        .select("repo", "path", "route", "branch")
+    )
+
+
+SQL_ENGINE_EVOLUTION = _replay_sql(
+    "SELECT repo, path, route, branch FROM final WHERE branch IS NOT NULL"
+)
+
+
 # --- cdc_engine_dead_letters: the parse classifier, non-vacuous (T4) --------
 
 
@@ -208,6 +251,14 @@ def _oracle_ready(sql: str) -> str:
 QUERIES = {
     "cdc_engine_replay": (cdc_engine_replay, _oracle_ready(SQL_ENGINE_REPLAY)),
     "cdc_engine_routes": (cdc_engine_routes, _oracle_ready(SQL_ENGINE_ROUTES)),
+    "cdc_engine_tenant_state": (
+        cdc_engine_tenant_state,
+        _oracle_ready(SQL_ENGINE_TENANT),
+    ),
+    "cdc_engine_schema_evolution": (
+        cdc_engine_schema_evolution,
+        _oracle_ready(SQL_ENGINE_EVOLUTION),
+    ),
     "cdc_engine_dead_letters": (
         cdc_engine_dead_letters,
         _oracle_ready(SQL_ENGINE_DEAD_LETTERS),

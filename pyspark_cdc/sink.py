@@ -59,11 +59,18 @@ from .schemas import (DELETED_COL, DOMAIN_COLS, KEY_COLS, LSN_COL, OFFSET_COL,
                       TS_COL, TX_COL)
 
 BUCKET_COL = "__bucket"
-# Routing identity (SURVEY.md P8): the per-record index identity of the
-# reference ({app_name}_{collection}, sync.go:176-196) materialized as a
-# sink column; functionally determined by the key's repo (one route per
-# source table/topic), so carrying it as a value through the key-wise
-# MERGE is equivalent to keying by it.
+# Routing identity (SURVEY.md P8/Q11): the per-record index identity of
+# the reference ({app_name}_{collection}, sync.go:176-196) materialized
+# as a sink PARTITION column; functionally determined by the key's repo
+# (one route per source table/topic), so carrying it as a value through
+# the key-wise MERGE is equivalent to keying by it. The physical layout
+# is bucket/route (base) and status/route (parsed deltas), so a
+# tenant-scoped read prunes whole route directories — the analog of the
+# reference's per-tenant Meilisearch index (handler.go:34-44): a
+# `WHERE route = X` query must not scan other tenants' data. Route is
+# expected to be LOW-cardinality (one per source table/topic/tenant
+# collection); key-hash bucketing inside each route keeps file sizes
+# uniform at 100 TB.
 ROUTE_COL = "route"
 ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
 INTERNAL = [*ORD_COLS, DELETED_COL]
@@ -257,18 +264,60 @@ class ParquetLake:
         return T.StructType(fields)
 
     def _read_buckets(self, meta: dict, buckets: list[int], extra_cols: list[str]) -> DataFrame:
+        """Base rows of the given buckets. Each bucket dir is a partitioned
+        root with route=R subdirs — partition discovery recovers `route`
+        as a column (and a route predicate on the result prunes at the
+        directory level)."""
         paths = [
             os.path.join(self.table_dir, meta["buckets"][str(b)])
             for b in buckets
             if str(b) in meta["buckets"]
         ]
-        if not paths:
+        df = self._read_bucket_tree(paths)
+        if df is None:
             return self.spark.createDataFrame([], self._row_schema(extra_cols))
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         for c in [ROUTE_COL, *extra_cols]:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+
+    def _read_bucket_tree(self, paths: list[str]):
+        """Bucket dirs (possibly spanning several snapshots) -> one
+        DataFrame. Bucket dirs are `__bucket=B` roots holding `route=R`
+        subdirs; partition discovery needs each snapshot's data dir as
+        basePath to recover (__bucket, route) without tripping
+        CONFLICTING_DIRECTORY_STRUCTURES, and dirs from different
+        snapshots are separate trees, so group by parent and union."""
+        if not paths:
+            return None
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            groups.setdefault(os.path.dirname(p), []).append(p)
+        parts = [
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", parent)
+            .parquet(*sorted(ps))
+            for parent, ps in sorted(groups.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    @staticmethod
+    def _listed_routes(root_dir: str) -> list[str]:
+        """route=R partition dirs under a written root (recursively, so a
+        bucket/route layout reports its routes regardless of nesting
+        order)."""
+        from urllib.parse import unquote
+
+        routes: set[str] = set()
+        for _cur, dirs, _files in os.walk(root_dir):
+            for d in dirs:
+                if d.startswith(f"{ROUTE_COL}="):
+                    # Spark escapes special chars in partition dir names
+                    routes.add(unquote(d.split("=", 1)[1]))
+        return sorted(routes)
 
     def merge(
         self,
@@ -402,18 +451,20 @@ class ParquetLake:
 
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
-        # Re-hash on the bucket before the dynamic-partition write: AQE
-        # coalesces the post-agg exchange to a few fat partitions, and
-        # without this each writer task would fan out to ~all bucket dirs
-        # (few tasks x many open files). One task per touched bucket =
-        # full write parallelism and exactly one file per bucket.
+        # Re-hash on (bucket, route) before the dynamic-partition write:
+        # AQE coalesces the post-agg exchange to a few fat partitions, and
+        # without this each writer task would fan out to ~all leaf dirs
+        # (few tasks x many open files). One task per touched (bucket,
+        # route) leaf = full write parallelism and exactly one file per
+        # leaf.
         t0 = _time.monotonic()
-        merged.repartition(len(touched), F.col(BUCKET_COL)).write.partitionBy(
-            BUCKET_COL
-        ).mode("overwrite").parquet(out_dir)
+        merged.repartition(
+            max(len(touched), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
+        ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
 
         new_buckets = dict(meta["buckets"])
+        bucket_routes = dict(meta.get("bucket_routes", {}))
         written = {
             int(d.split("=", 1)[1])
             for d in os.listdir(out_dir)
@@ -421,9 +472,14 @@ class ParquetLake:
         }
         for b in touched:
             if b in written:
-                new_buckets[str(b)] = os.path.join(data_rel, f"{BUCKET_COL}={b}")
+                rel = os.path.join(data_rel, f"{BUCKET_COL}={b}")
+                new_buckets[str(b)] = rel
+                bucket_routes[str(b)] = self._listed_routes(
+                    os.path.join(self.table_dir, rel)
+                )
             else:
                 new_buckets.pop(str(b), None)
+                bucket_routes.pop(str(b), None)
 
         new_meta = {
             "id": meta["id"] + 1,
@@ -431,6 +487,7 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": new_buckets,
+            "bucket_routes": bucket_routes,
             "deltas": meta.get("deltas", []),
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
@@ -450,9 +507,9 @@ class ParquetLake:
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         t0 = _time.monotonic()
-        src_flat.repartition(len(touched), F.col(BUCKET_COL)).write.partitionBy(
-            BUCKET_COL
-        ).mode("overwrite").parquet(out_dir)
+        src_flat.repartition(
+            max(len(touched), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
+        ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
 
         new_meta = {
@@ -461,7 +518,10 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
-            "deltas": meta.get("deltas", []) + [{"path": data_rel, "format": "flat"}],
+            "bucket_routes": dict(meta.get("bucket_routes", {})),
+            "deltas": meta.get("deltas", [])
+            + [{"path": data_rel, "format": "flat",
+                "routes": self._listed_routes(out_dir)}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
         }
@@ -525,7 +585,11 @@ class ParquetLake:
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         t0 = _time.monotonic()
-        src.write.partitionBy("status").mode("overwrite").parquet(out_dir)
+        # status/route partitioning: the dead-letter statuses stay cheap to
+        # scan AND a tenant-pruned read skips other tenants' delta files
+        # (route is low-cardinality, so the per-delta file fan-out stays
+        # O(source tasks x statuses x routes-touched-in-batch)).
+        src.write.partitionBy("status", ROUTE_COL).mode("overwrite").parquet(out_dir)
         got = obs.get
         stats = {
             "status": "committed",
@@ -556,8 +620,10 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
+            "bucket_routes": dict(meta.get("bucket_routes", {})),
             "deltas": meta.get("deltas", [])
-            + [{"path": data_rel, "format": "parsed"}],
+            + [{"path": data_rel, "format": "parsed",
+                "routes": self._listed_routes(out_dir)}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
         }
@@ -571,13 +637,18 @@ class ParquetLake:
         stats["snapshot"] = new_meta["id"]
         return stats
 
-    def _flatten_parsed_delta(self, dp: str, extra_cols: list[str]) -> DataFrame:
+    def _flatten_parsed_delta(
+        self, dp: str, extra_cols: list[str], route: str | None = None
+    ) -> DataFrame:
         """Parsed-format delta -> flat row shape (the base schema): keep
         ok rows, turn effective_op into the tombstone flag, flatten extras
         via the manifest's column list (complete — every delta recorded
         its observed keys at commit), and null the payload of deleted rows
-        exactly like the flat write path."""
+        exactly like the flat write path. A route predicate lands on the
+        status/route partition layout, pruning other tenants' files."""
         df = self.spark.read.parquet(dp).filter(F.col("status") == "ok")
+        if route is not None:
+            df = df.filter(F.col(ROUTE_COL) == route)
         deleted = F.col("effective_op") == "d"
 
         def payload(c, name: str):
@@ -616,9 +687,9 @@ class ParquetLake:
 
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
-        merged.repartition(self.n_buckets, F.col(BUCKET_COL)).write.partitionBy(
-            BUCKET_COL
-        ).mode("overwrite").parquet(out_dir)
+        merged.repartition(
+            self.n_buckets, F.col(BUCKET_COL), F.col(ROUTE_COL)
+        ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
 
         new_buckets = {
             d.split("=", 1)[1]: os.path.join(data_rel, d)
@@ -631,6 +702,10 @@ class ParquetLake:
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": new_buckets,
+            "bucket_routes": {
+                b: self._listed_routes(os.path.join(self.table_dir, rel))
+                for b, rel in new_buckets.items()
+            },
             "deltas": [],
             **{k: v for k, v in meta.items()
                if k in ("batch_wm", "recent_batch_ids", "batch_ids")},
@@ -691,29 +766,66 @@ class ParquetLake:
                     removed_dirs += 1
         return {"removed_snapshots": removed_snaps, "removed_dirs": removed_dirs}
 
-    def _read_all(self, meta: dict, extra_cols: list[str]) -> DataFrame:
+    def _read_all(
+        self, meta: dict, extra_cols: list[str], route: str | None = None
+    ) -> DataFrame:
         """All row versions (base + deltas), bucket column dropped, extra
-        columns normalized. Base bucket paths are partition LEAF dirs while
-        delta paths are partitioned ROOTS, so they are read separately
-        (mixing both in one load trips partition discovery)."""
-        base_paths = [os.path.join(self.table_dir, p) for p in meta["buckets"].values()]
+        columns normalized. Base bucket paths are bucket dirs (route-
+        partitioned roots) while delta paths are their own partitioned
+        ROOTS, so they are read separately (mixing both in one load trips
+        partition discovery).
+
+        route=X is the tenant-pruned path (Q11): buckets and deltas whose
+        manifest route list excludes X are skipped entirely (manifest
+        pruning), and the route predicate on the rest lands in the scan's
+        PartitionFilters (directory pruning) — other tenants' files are
+        never opened."""
+        bucket_routes = meta.get("bucket_routes", {})
+
+        def bucket_has_route(b: str) -> bool:
+            if route is None:
+                return True
+            routes = bucket_routes.get(b)
+            return routes is None or route in routes  # None: pre-route manifest
+
+        def delta_has_route(d: dict) -> bool:
+            if route is None:
+                return True
+            routes = d.get("routes")
+            return routes is None or route in routes
+
+        base_paths = [
+            os.path.join(self.table_dir, p)
+            for b, p in meta["buckets"].items()
+            if bucket_has_route(b)
+        ]
         deltas = [
             d if isinstance(d, dict) else {"path": d, "format": "flat"}
             for d in meta.get("deltas", [])
         ]
         parts = []
-        if base_paths:
-            parts.append(self.spark.read.option("mergeSchema", "true").parquet(*base_paths))
+        base = self._read_bucket_tree(base_paths)
+        if base is not None:
+            if route is not None and ROUTE_COL in base.columns:
+                base = base.filter(F.col(ROUTE_COL) == route)
+            parts.append(base)
         # each delta is its own partitioned root — read separately (several
         # partitioned roots in one load trip partition discovery)
         for d in deltas:
+            if not delta_has_route(d):
+                continue
             dp = os.path.join(self.table_dir, d["path"])
             if d["format"] == "parsed":
-                parts.append(self._flatten_parsed_delta(dp, extra_cols))
+                parts.append(self._flatten_parsed_delta(dp, extra_cols, route=route))
             else:
-                parts.append(
-                    self.spark.read.option("mergeSchema", "true").parquet(dp).drop(BUCKET_COL)
+                flat = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(dp)
+                    .drop(BUCKET_COL)
                 )
+                if route is not None and ROUTE_COL in flat.columns:
+                    flat = flat.filter(F.col(ROUTE_COL) == route)
+                parts.append(flat)
         if not parts:
             return self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         df = parts[0]
@@ -733,11 +845,19 @@ class ParquetLake:
         include_deleted: bool = False,
         include_internal: bool = False,
         snapshot_id: int | None = None,
+        route: str | None = None,
     ) -> DataFrame:
         """Final table state; snapshot_id time-travels to any snapshot the
         retention window still holds (Iceberg VERSION AS OF analog —
         snapshots are immutable and data files are only removed by
-        expire_snapshots once no retained snapshot references them)."""
+        expire_snapshots once no retained snapshot references them).
+
+        route=X is the tenant-scoped read (Q11, the reference's per-tenant
+        index): only that route's partition directories are listed and
+        scanned — manifest-level bucket/delta pruning plus PartitionFilters
+        on the route dirs. LWW is resolved within the tenant's rows alone,
+        which is exact because route is functionally determined by the
+        merge key (every version of a key lives under one route)."""
         meta = (
             self.snapshot_meta(snapshot_id)
             if snapshot_id is not None
@@ -747,7 +867,7 @@ class ParquetLake:
         if not meta or (not meta["buckets"] and not meta.get("deltas")):
             df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         else:
-            df = self._read_all(meta, extra_cols)
+            df = self._read_all(meta, extra_cols, route=route)
             if meta.get("deltas"):
                 # merge-on-read: several versions of a key may coexist
                 # across base + deltas until compaction; resolve LWW here.

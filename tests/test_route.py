@@ -1,0 +1,105 @@
+"""Tenant-pruned reads (SURVEY.md Q11 — the reference's per-tenant index,
+handler.go:34-44): the lake's bucket/route partition layout must let a
+route-scoped read skip every other tenant's data — manifest-level
+bucket/delta pruning plus route PartitionFilters on the scans — while
+returning exactly the rows a full read filtered to that route returns."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from pyspark_cdc import generate
+from pyspark_cdc.sink import ParquetLake
+from pyspark_cdc.stream import process_batch
+
+
+def _mklake(spark, tmp_path, n=1200, batches=3, compact_every=10):
+    log = generate.bulk_events_df(spark, n, n_keys=150, seed=7).collect()
+    lake = ParquetLake(
+        spark, str(tmp_path / "lake"), n_buckets=8, mode="mor",
+        compact_every=compact_every,
+    )
+    chunk = (len(log) + batches - 1) // batches
+    for i in range(batches):
+        part = log[i * chunk : (i + 1) * chunk]
+        process_batch(
+            spark.createDataFrame(part, schema=generate.KAFKA_SHAPE), i, lake
+        )
+    return lake
+
+
+def _rows(df):
+    return sorted(
+        (r["repo"], r["path"], r["content"], r["route"]) for r in df.collect()
+    )
+
+
+def test_route_read_equals_filtered_full_read_mor(spark, tmp_path):
+    # deltas outstanding (no compaction): parsed-delta route pruning path
+    lake = _mklake(spark, tmp_path, compact_every=10)
+    full = lake.read()
+    for route in generate.TOPICS:
+        pruned = lake.read(route=route)
+        assert _rows(pruned) == _rows(full.filter(F.col("route") == route))
+    # both tenants together cover the full table (route is never null here)
+    n_split = sum(lake.read(route=r).count() for r in generate.TOPICS)
+    assert n_split == full.count()
+
+
+def test_route_read_equals_filtered_full_read_compacted(spark, tmp_path):
+    # compaction folded everything into the route-partitioned base
+    lake = _mklake(spark, tmp_path, compact_every=2)
+    meta = lake.current_meta()
+    assert meta["buckets"], "expected a compacted base"
+    assert meta.get("bucket_routes"), "manifest must record per-bucket routes"
+    full = lake.read()
+    for route in generate.TOPICS:
+        pruned = lake.read(route=route)
+        assert _rows(pruned) == _rows(full.filter(F.col("route") == route))
+
+
+def test_route_scan_prunes_partitions(spark, tmp_path):
+    """The physical scan of a tenant-scoped read carries the route
+    predicate as a PARTITION filter (directory pruning), not a post-scan
+    data filter."""
+    lake = _mklake(spark, tmp_path, compact_every=2)
+    pruned = lake.read(route=generate.TOPICS[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the route equality must appear inside a PartitionFilters clause
+    assert any(
+        "PartitionFilters" in ln and "route" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_unknown_route_reads_empty_without_other_tenants(spark, tmp_path):
+    lake = _mklake(spark, tmp_path, compact_every=2)
+    assert lake.read(route="cdc.public.no_such_tenant").count() == 0
+
+
+def test_manifest_level_delta_pruning(spark, tmp_path):
+    """A delta holding only tenant A's rows is skipped entirely (not even
+    listed) by a tenant-B read: its manifest entry records its routes."""
+    only_a = [
+        {
+            "key": json.dumps({"repo": "aaaa/x", "path": f"f{i}.py"}),
+            # len("aaaa/x") is even => TOPICS[0]
+            "value": generate._env(
+                "c", generate._after("aaaa/x", f"f{i}.py", i + 1), lsn=i + 1
+            ),
+            "topic": generate.topic_for("aaaa/x"),
+            "partition": 0,
+            "offset": i + 1,
+        }
+        for i in range(5)
+    ]
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4, mode="mor")
+    process_batch(spark.createDataFrame(only_a, schema=generate.KAFKA_SHAPE), 0, lake)
+    meta = lake.current_meta()
+    (delta,) = meta["deltas"]
+    assert delta["routes"] == [generate.TOPICS[0]]
+    assert lake.read(route=generate.TOPICS[1]).count() == 0
+    assert lake.read(route=generate.TOPICS[0]).count() == 5
