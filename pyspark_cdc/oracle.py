@@ -47,6 +47,18 @@ def _coerce_str(v: Any) -> str | None:
     return str(v)
 
 
+def _ord_int(v: Any) -> int | None:
+    """Numeric coercion of an ordering field, mirroring Spark's
+    string->long cast (None / non-numeric -> None, so callers can fall
+    back)."""
+    if v is None or isinstance(v, bool):
+        return None
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def _truthy_delete(v: Any) -> bool:
     if v is True:
         return True
@@ -137,10 +149,16 @@ def replay(events: list[dict]) -> dict:
             continue
         src = payload.get("source") or {}
         tx = payload.get("transaction") or {}
-        lsn = src.get("lsn") or 0
+        lsn = _ord_int(src.get("lsn")) or 0
+        # transaction.id is a string in real Debezium output ("571");
+        # numeric source.txId is the fallback — mirrors parse.py
+        tx_id = _ord_int(tx.get("id"))
+        if tx_id is None:
+            tx_id = _ord_int(src.get("txId"))
         parsed.append(
             (
-                (lsn, tx.get("id") or 0, src.get("ts_ms") or 0, rec.get("offset") or 0),
+                (lsn, tx_id or 0, _ord_int(src.get("ts_ms")) or 0,
+                 rec.get("offset") or 0),
                 payload,
                 rec.get("topic"),
             )

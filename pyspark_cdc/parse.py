@@ -54,6 +54,13 @@ _MAP_SS = "map<string,string>"
 # envelope schema, so one Jackson scan of `value` yields scaffolding AND
 # the open-world after image together; `before` typed to just the key
 # columns a delete needs (sync.go:146-156).
+#
+# The `source` / `transaction` blocks carry the standard Debezium v2
+# Postgres fields (a real topic's envelopes parse unchanged — see
+# tests/test_debezium_corpus.py): `transaction.id` is a STRING in real
+# Debezium output (e.g. "571"), so it is parsed as text and cast, with
+# `source.txId` (numeric) as the fallback; from_json silently ignores
+# the top-level `schema` block a schemas.enable=true connector emits.
 PARSE_ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField(
@@ -74,19 +81,40 @@ PARSE_ENVELOPE_SCHEMA = T.StructType(
                         "after", T.MapType(T.StringType(), T.StringType()), True
                     ),
                     T.StructField("op", T.StringType(), True),
+                    T.StructField("ts_ms", T.LongType(), True),
+                    T.StructField("ts_us", T.LongType(), True),
                     T.StructField(
                         "source",
                         T.StructType(
                             [
-                                T.StructField("lsn", T.LongType(), True),
+                                T.StructField("version", T.StringType(), True),
+                                T.StructField("connector", T.StringType(), True),
+                                T.StructField("name", T.StringType(), True),
                                 T.StructField("ts_ms", T.LongType(), True),
+                                T.StructField("ts_us", T.LongType(), True),
+                                T.StructField("snapshot", T.StringType(), True),
+                                T.StructField("db", T.StringType(), True),
+                                T.StructField("sequence", T.StringType(), True),
+                                T.StructField("schema", T.StringType(), True),
+                                T.StructField("table", T.StringType(), True),
+                                T.StructField("txId", T.LongType(), True),
+                                T.StructField("lsn", T.LongType(), True),
+                                T.StructField("xmin", T.LongType(), True),
                             ]
                         ),
                         True,
                     ),
                     T.StructField(
                         "transaction",
-                        T.StructType([T.StructField("id", T.LongType(), True)]),
+                        T.StructType(
+                            [
+                                T.StructField("id", T.StringType(), True),
+                                T.StructField("total_order", T.LongType(), True),
+                                T.StructField(
+                                    "data_collection_order", T.LongType(), True
+                                ),
+                            ]
+                        ),
                         True,
                     ),
                 ]
@@ -243,7 +271,13 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         # materialized as a sink identity column carried through the MERGE.
         F.col("topic").alias("route"),
         F.coalesce(p.getField("source").getField("lsn"), F.lit(0)).alias(LSN_COL),
-        F.coalesce(p.getField("transaction").getField("id"), F.lit(0)).alias(TX_COL),
+        # transaction.id is a STRING in real Debezium output ("571");
+        # numeric source.txId is the fallback (same transaction)
+        F.coalesce(
+            p.getField("transaction").getField("id").cast("long"),
+            p.getField("source").getField("txId"),
+            F.lit(0),
+        ).alias(TX_COL),
         F.coalesce(p.getField("source").getField("ts_ms"), F.lit(0)).alias(TS_COL),
         # Kafka arrival order as the final LWW tie-break (the reference's
         # implicit ordering); duplicated under the internal name so the

@@ -69,7 +69,8 @@ WITH raw AS (
   SELECT topic, "offset",
          {_OP} AS op,
          COALESCE(TRY_CAST(json_extract({_J}, '$.payload.source.lsn') AS BIGINT), 0) AS lsn,
-         COALESCE(TRY_CAST(json_extract({_J}, '$.payload.transaction.id') AS BIGINT), 0) AS tx,
+         COALESCE(TRY_CAST(json_extract_string({_J}, '$.payload.transaction.id') AS BIGINT),
+                  TRY_CAST(json_extract({_J}, '$.payload.source.txId') AS BIGINT), 0) AS tx,
          COALESCE(TRY_CAST(json_extract({_J}, '$.payload.source.ts_ms') AS BIGINT), 0) AS ts,
          {_AFTER} AS after,
          {_BEFORE} AS before,
