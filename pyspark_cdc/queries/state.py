@@ -229,6 +229,86 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q10_proximity_rank(spark, sf_dir):
+    """Proximity ranking (Meilisearch rule #3, 搜索接口.md:86-127): docs
+    where the two query terms appear CLOSER together rank higher. The
+    minimal token distance between any 'vector' and any 'stream'
+    occurrence is computed purely with array expressions (no join, no
+    explode — one pass per row): positions of each term, then the min of
+    all pairwise |a-b|. Top 20 by closeness with doc_id tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(w, lambda x, i: F.when(x == term, i + 1)),
+            lambda x: x.isNotNull(),
+        )
+
+    p1, p2 = positions("vector"), positions("stream")
+    min_dist = F.array_min(
+        F.flatten(F.transform(p1, lambda a: F.transform(p2, lambda b: F.abs(a - b))))
+    )
+    return (
+        docs.select("doc_id", min_dist.alias("min_dist"))
+        .filter(F.col("min_dist").isNotNull())
+        .orderBy(F.col("min_dist").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10_PROXIMITY = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(w) + 1), i -> w[i] = 'vector') AS p1,
+         list_filter(range(1, len(w) + 1), i -> w[i] = 'stream') AS p2
+  FROM d
+)
+SELECT doc_id,
+       list_min(flatten(list_transform(p1,
+                a -> list_transform(p2, b -> abs(a - b))))) AS min_dist
+FROM p
+WHERE len(p1) > 0 AND len(p2) > 0
+ORDER BY min_dist ASC, doc_id ASC LIMIT 20
+"""
+
+
+def q10_exactness_rank(spark, sf_dir):
+    """Words + exactness ranking (Meilisearch rules #1 and #5,
+    Meilisearch 真实场景.md:499-549): score = 2 per matched query term,
+    +1 when the exact phrase matches — so any doc with both terms beats
+    any doc with one, and exact-phrase docs win ties. Top 20 with doc_id
+    tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_terms = (
+        F.when(t.contains("vector"), 1).otherwise(0)
+        + F.when(t.contains("stream"), 1).otherwise(0)
+    )
+    exact = F.when(t.contains("vector stream"), 1).otherwise(0)
+    score = (n_terms * 2 + exact).alias("score")
+    return (
+        docs.select("doc_id", score)
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10_EXACTNESS = """
+SELECT doc_id,
+       2 * ((CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END)
+            + (CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END))
+       + (CASE WHEN text LIKE '%vector stream%' THEN 1 ELSE 0 END) AS score
+FROM documents
+WHERE (CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END)
+      + (CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 # Q12: list-latest (filter + order by recency + limit)
 def q12_list_latest(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -368,6 +448,8 @@ QUERIES = {
     "q10_highlight_snippets": (q10_highlight_snippets, SQL_Q10_HIGHLIGHT),
     "q10_fuzzy_search": (q10_fuzzy_search, SQL_Q10_FUZZY),
     "q10_field_weighted_rank": (q10_field_weighted_rank, SQL_Q10_WEIGHTED),
+    "q10_proximity_rank": (q10_proximity_rank, SQL_Q10_PROXIMITY),
+    "q10_exactness_rank": (q10_exactness_rank, SQL_Q10_EXACTNESS),
     "q12_list_latest": (q12_list_latest, SQL_Q12),
     "q13_point_lookup": (q13_point_lookup, SQL_Q13),
     "q14_json_lookup": (q14_json_lookup, SQL_Q14),
