@@ -129,16 +129,25 @@ def main() -> int:
         wall, extras = bench_replay(spark, sf, workdir)
         queries["q_replay"] = round(wall, 3)
 
+        # Each headline query runs 3x and reports the MEDIAN, with the raw
+        # walls alongside — shared-host noise (up to 1.7x swing, see
+        # BENCH/BASELINE.md run matrix) must not masquerade as engine
+        # changes round over round.
         available = {name: fn for name, (fn, _sql) in REGISTRY.items()}
         for bench_key, reg_key in HEADLINE:
             fn = available.get(reg_key)
             if fn is None:
                 continue
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            queries[bench_key] = round(time.monotonic() - t0, 3)
+            walls = []
+            n = 0
+            for _run in range(3):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                walls.append(round(time.monotonic() - t0, 3))
+            queries[bench_key] = sorted(walls)[1]  # median of 3
             extras[f"{bench_key}_rows"] = n
+            extras[f"{bench_key}_walls"] = walls
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
