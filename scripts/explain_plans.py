@@ -101,20 +101,29 @@ def main() -> int:
         .select(*KEY_COLS, *CARRY_COLS)
         .withColumn(BUCKET_COL, bucket_expr(16))
     )
+    from pyspark_cdc.order import packed_ord
+
     row = F.struct(*[F.col(c) for c in src.columns if c not in KEY_COLS])
-    ordk = F.struct(F.col("__lsn"), F.col("__tx_id"), F.col("__ts_ms"))
     merged = (
-        src.groupBy(*KEY_COLS).agg(F.max_by(row, ordk).alias("_w")).select(*KEY_COLS, "_w.*")
+        src.groupBy(*KEY_COLS)
+        .agg(F.max_by(row, packed_ord()).alias("_w"))
+        .select(*KEY_COLS, "_w.*")
     )
     plan = formatted(merged)
     n_exchanges = plan.count("hashpartitioning(repo")
-    # max_by is a DeclarativeAggregate with a variable-width buffer
-    # (strings/map), so the planner picks SortAggregate — crucially still
-    # with a PARTIAL phase before the exchange (map-side combine = the
-    # hot-key guarantee); the sort also leaves each bucket key-clustered
-    # for the parquet write (better stats + compression). Packing the
-    # buffer into primitives was measured: the SortAggregate costs ~10%
-    # over a pure-primitive HashAggregate at 2M rows — not the bottleneck.
+    # The ordering tuple is packed into ONE binary scalar (order.packed_ord,
+    # round 3) so the comparator is a single memcmp — but the aggregate
+    # stays SortAggregate BY CONSTRUCTION: any built-in ordered-selection
+    # aggregate that carries a row struct (max_by, max(struct)) has an
+    # immutable UnsafeRow buffer, so no packing makes it a HashAggregate.
+    # Measured at 2M rows / 200k keys (local[32], 3 runs): max_by(struct,
+    # struct) 0.39-0.49s, max_by(struct, packed binary) 0.40-0.49s,
+    # max(struct(packed,...)) 0.44-0.46s — all equal within noise — while
+    # the two-phase formulation that DOES get a HashAggregate (per-key
+    # max(packed) + shuffle-hash join back) costs 1.18-1.29s (~2.5x):
+    # it re-shuffles the full rows a second time. The partial phase before
+    # the exchange (map-side combine = the hot-key guarantee) is the
+    # property that matters, and it is asserted below.
     check(
         "fused LWW+MERGE aggregation",
         plan,
@@ -150,6 +159,25 @@ def main() -> int:
         must_not=["BatchEvalPython", "Window"],
     )
 
+    # 4c. tenant-pruned read (Q11): the route predicate must land in the
+    # scans' PartitionFilters (directory pruning), never as a post-scan
+    # data filter — plus manifest-level bucket/delta pruning upstream.
+    plan = formatted(mor.read(route=generate.TOPICS[0]))
+    check(
+        "tenant-pruned read (route partition pruning)",
+        plan,
+        must=["PartitionFilters"],
+        must_not=["BatchEvalPython"],
+    )
+    route_pruned = any(
+        "PartitionFilters" in ln and "route" in ln for ln in plan.splitlines()
+    )
+    if not route_pruned:
+        failures.append("tenant read: route not in any PartitionFilters clause")
+    sections[-1][2].append(
+        f"{'OK ' if route_pruned else 'FAIL'} route predicate inside PartitionFilters"
+    )
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.
@@ -159,6 +187,10 @@ def main() -> int:
         # sort-based fallback anywhere in the pipeline
         ("dedup_minhash_lsh", ["HashAggregate"], ["BatchEvalPython", "SortAggregate"]),
         ("ann_bruteforce_topk", [], ["BatchEvalPython"]),
+        # multi-table multi-probe LSH stays a (table, bucket) equi-join
+        ("ann_lsh_topk", ["BroadcastHashJoin"], ["CartesianProduct",
+                                                 "BroadcastNestedLoopJoin",
+                                                 "BatchEvalPython"]),
         # pagination compiles to a partial top-K, not a global window sort
         ("q7_sort_paginate", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
         # banded LSH: equi-join on the band, never a cartesian
