@@ -83,7 +83,7 @@ def test_flagship_engine_replay_has_an_oracle(spark):
 
 def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
-    assert len(ORACLES) >= 40
+    assert len(ORACLES) >= 50
 
 
 def test_flagship_log_is_deterministic(tmp_path):
