@@ -276,6 +276,7 @@ class ParquetLake:
         df = self._read_bucket_tree(paths)
         if df is None:
             return self.spark.createDataFrame([], self._row_schema(extra_cols))
+        df = self._route_as_string(df)
         for c in [ROUTE_COL, *extra_cols]:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
@@ -302,6 +303,16 @@ class ParquetLake:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    @staticmethod
+    def _route_as_string(df: DataFrame) -> DataFrame:
+        """Partition-column type inference could read a numeric-looking
+        tenant (route=123) back as int; the lake contract is string.
+        Callers apply this AFTER any route filter so partition pruning
+        sees the raw column."""
+        if ROUTE_COL in df.columns:
+            return df.withColumn(ROUTE_COL, F.col(ROUTE_COL).cast("string"))
         return df
 
     @staticmethod
@@ -649,6 +660,7 @@ class ParquetLake:
         df = self.spark.read.parquet(dp).filter(F.col("status") == "ok")
         if route is not None:
             df = df.filter(F.col(ROUTE_COL) == route)
+        df = self._route_as_string(df)
         deleted = F.col("effective_op") == "d"
 
         def payload(c, name: str):
@@ -808,7 +820,7 @@ class ParquetLake:
         if base is not None:
             if route is not None and ROUTE_COL in base.columns:
                 base = base.filter(F.col(ROUTE_COL) == route)
-            parts.append(base)
+            parts.append(self._route_as_string(base))
         # each delta is its own partitioned root — read separately (several
         # partitioned roots in one load trip partition discovery)
         for d in deltas:
@@ -825,7 +837,7 @@ class ParquetLake:
                 )
                 if route is not None and ROUTE_COL in flat.columns:
                     flat = flat.filter(F.col(ROUTE_COL) == route)
-                parts.append(flat)
+                parts.append(self._route_as_string(flat))
         if not parts:
             return self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         df = parts[0]

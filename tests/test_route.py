@@ -80,6 +80,32 @@ def test_unknown_route_reads_empty_without_other_tenants(spark, tmp_path):
     assert lake.read(route="cdc.public.no_such_tenant").count() == 0
 
 
+def test_numeric_route_stays_string(spark, tmp_path):
+    """A numeric-looking tenant name ('123') must round-trip as a STRING
+    through the route partition dirs (Hive partition type inference would
+    otherwise read it back as int), both before and after compaction."""
+    recs = [
+        {
+            "key": json.dumps({"repo": "r/x", "path": f"f{i}.py"}),
+            "value": generate._env(
+                "c", generate._after("r/x", f"f{i}.py", i + 1), lsn=i + 1
+            ),
+            "topic": "123",
+            "partition": 0,
+            "offset": i + 1,
+        }
+        for i in range(4)
+    ]
+    lake = ParquetLake(
+        spark, str(tmp_path / "lake"), n_buckets=4, mode="mor", compact_every=1
+    )
+    process_batch(spark.createDataFrame(recs, schema=generate.KAFKA_SHAPE), 0, lake)
+    out = lake.read(route="123")
+    assert dict(out.dtypes)["route"] == "string"
+    assert out.count() == 4
+    assert {r["route"] for r in out.collect()} == {"123"}
+
+
 def test_manifest_level_delta_pruning(spark, tmp_path):
     """A delta holding only tenant A's rows is skipped entirely (not even
     listed) by a tenant-B read: its manifest entry records its routes."""
