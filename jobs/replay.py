@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int)
     ap.add_argument("--generate", type=int, metavar="N_EVENTS",
                     help="synthesize a deterministic event log first")
+    ap.add_argument("--read-route", metavar="ROUTE",
+                    help="after the replay, also report the row count of "
+                         "this tenant's route via the PRUNED read path "
+                         "(read(route=...): manifest bucket/delta pruning "
+                         "+ route PartitionFilters)")
     ap.add_argument("--fresh", action="store_true",
                     help="batch mode: replace a pre-existing lake at "
                          "--table-dir (and warm dirs) instead of refusing; "
@@ -226,6 +231,9 @@ def main(argv=None) -> int:
         "snapshot": (lake.current_meta() or {}).get("id"),
         "merge": stats,
     }
+    if args.read_route:
+        out["route"] = args.read_route
+        out["route_rows"] = lake.read(route=args.read_route).count()
     print(json.dumps(out))
     return 0
 

@@ -131,6 +131,7 @@ class ParquetLake:
         mode: str = "cow",
         compact_every: int = 10,
         tombstone_horizon_lsn: int | None = None,
+        broadcast_delta_bytes: int = 128 * 1024 * 1024,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -139,6 +140,11 @@ class ParquetLake:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_every = compact_every
+        # MoR read strategy switch: when the outstanding deltas are at most
+        # this many parquet bytes, read() resolves them with a BROADCAST
+        # key-set join against the base (scan-only, no table-wide shuffle);
+        # bigger backlogs fall back to the global LWW aggregate. See read().
+        self.broadcast_delta_bytes = broadcast_delta_bytes
         # Tombstone retention (SCALING.md section 7): a delete tombstone
         # only needs to outlive the SOURCE's replay horizon (Kafka
         # retention) — an older upsert can never be replayed after its
@@ -778,14 +784,26 @@ class ParquetLake:
                     removed_dirs += 1
         return {"removed_snapshots": removed_snaps, "removed_dirs": removed_dirs}
 
-    def _read_all(
+    def _normalize_rows(self, df: DataFrame, extra_cols: list[str]) -> DataFrame:
+        """Full row schema: bucket dropped, every route/extra column
+        present."""
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        for c in [ROUTE_COL, *extra_cols]:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df
+
+    def _read_split(
         self, meta: dict, extra_cols: list[str], route: str | None = None
-    ) -> DataFrame:
-        """All row versions (base + deltas), bucket column dropped, extra
-        columns normalized. Base bucket paths are bucket dirs (route-
-        partitioned roots) while delta paths are their own partitioned
-        ROOTS, so they are read separately (mixing both in one load trips
-        partition discovery).
+    ):
+        """(base, delta) DataFrames, either possibly None, both normalized
+        to the full row schema. Base rows are UNIQUE per key (every base
+        writer — COW merge and compaction — is a resolve_lww output);
+        deltas hold multi-version rows. Base bucket paths are bucket dirs
+        (route-partitioned roots) while delta paths are their own
+        partitioned ROOTS, so they are read separately (mixing both in one
+        load trips partition discovery).
 
         route=X is the tenant-pruned path (Q11): buckets and deltas whose
         manifest route list excludes X are skipped entirely (manifest
@@ -815,20 +833,23 @@ class ParquetLake:
             d if isinstance(d, dict) else {"path": d, "format": "flat"}
             for d in meta.get("deltas", [])
         ]
-        parts = []
         base = self._read_bucket_tree(base_paths)
         if base is not None:
             if route is not None and ROUTE_COL in base.columns:
                 base = base.filter(F.col(ROUTE_COL) == route)
-            parts.append(self._route_as_string(base))
+            base = self._normalize_rows(self._route_as_string(base), extra_cols)
+
         # each delta is its own partitioned root — read separately (several
         # partitioned roots in one load trip partition discovery)
+        delta_parts = []
         for d in deltas:
             if not delta_has_route(d):
                 continue
             dp = os.path.join(self.table_dir, d["path"])
             if d["format"] == "parsed":
-                parts.append(self._flatten_parsed_delta(dp, extra_cols, route=route))
+                delta_parts.append(
+                    self._flatten_parsed_delta(dp, extra_cols, route=route)
+                )
             else:
                 flat = (
                     self.spark.read.option("mergeSchema", "true")
@@ -837,18 +858,60 @@ class ParquetLake:
                 )
                 if route is not None and ROUTE_COL in flat.columns:
                     flat = flat.filter(F.col(ROUTE_COL) == route)
-                parts.append(self._route_as_string(flat))
-        if not parts:
-            return self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
-        if BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
-        for c in [ROUTE_COL, *extra_cols]:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast("string"))
-        return df
+                delta_parts.append(self._route_as_string(flat))
+        delta = None
+        if delta_parts:
+            delta = delta_parts[0]
+            for p in delta_parts[1:]:
+                delta = delta.unionByName(p, allowMissingColumns=True)
+            delta = self._normalize_rows(delta, extra_cols)
+        return base, delta
+
+    def _read_all(
+        self, meta: dict, extra_cols: list[str], route: str | None = None
+    ) -> DataFrame:
+        """All row versions (base + deltas) as one DataFrame."""
+        base, delta = self._read_split(meta, extra_cols, route=route)
+        if base is None and delta is None:
+            return self.spark.createDataFrame(
+                [], self._row_schema(extra_cols)
+            ).drop(BUCKET_COL)
+        if base is None:
+            return delta
+        if delta is None:
+            return base
+        return base.unionByName(delta, allowMissingColumns=True)
+
+    def _delta_bytes(self, meta: dict) -> int:
+        """On-disk parquet bytes of all outstanding deltas (driver-side
+        listing; O(delta files))."""
+        total = 0
+        for d in meta.get("deltas", []):
+            p = os.path.join(self.table_dir, d["path"] if isinstance(d, dict) else d)
+            for cur, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(cur, f))
+                    except OSError:
+                        pass
+        return total
+
+    def _merge_read_broadcast(self, base: DataFrame, delta: DataFrame) -> DataFrame:
+        """MoR read WITHOUT a table-wide shuffle, for the steady state
+        where the outstanding deltas are small relative to the base: base
+        rows not touched by any delta key stream straight through a
+        BROADCAST anti-join (scan-only, no exchange on the base), and the
+        LWW aggregate runs over just the overlapping base rows + delta
+        rows. Exact because every base writer is a resolve_lww output
+        (one row per key), so resolving a key needs only that key's base
+        row and its delta rows. Costs a second broadcast-join scan of the
+        base (the semi side) — two shuffle-free scans beat one full-table
+        shuffle at any scale where the base dominates."""
+        dk = delta.select(*KEY_COLS).distinct()
+        survivors = base.join(F.broadcast(dk), KEY_COLS, "left_anti")
+        overlap = base.join(F.broadcast(dk), KEY_COLS, "left_semi")
+        winners = resolve_lww(overlap.unionByName(delta, allowMissingColumns=True))
+        return survivors.unionByName(winners, allowMissingColumns=True)
 
     # ---------------- read path ----------------
 
@@ -879,11 +942,26 @@ class ParquetLake:
         if not meta or (not meta["buckets"] and not meta.get("deltas")):
             df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         else:
-            df = self._read_all(meta, extra_cols, route=route)
-            if meta.get("deltas"):
-                # merge-on-read: several versions of a key may coexist
-                # across base + deltas until compaction; resolve LWW here.
-                df = resolve_lww(df)
+            base, delta = self._read_split(meta, extra_cols, route=route)
+            # merge-on-read: several versions of a key may coexist across
+            # base + deltas until compaction. Strategy by delta size:
+            # small backlog (the steady state between compactions) =>
+            # broadcast key-set join, NO table-wide shuffle; large backlog
+            # (or no base) => the global LWW aggregate.
+            if base is None and delta is None:
+                df = self.spark.createDataFrame(
+                    [], self._row_schema(extra_cols)
+                ).drop(BUCKET_COL)
+            elif delta is None:
+                df = base  # compacted table: plain pruned scan, no agg
+            elif base is None:
+                df = resolve_lww(delta)
+            elif self._delta_bytes(meta) <= self.broadcast_delta_bytes:
+                df = self._merge_read_broadcast(base, delta)
+            else:
+                df = resolve_lww(
+                    base.unionByName(delta, allowMissingColumns=True)
+                )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         if not include_deleted:
