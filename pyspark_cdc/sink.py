@@ -14,12 +14,14 @@ WHEN NOT MATCHED INSERT` (SURVEY.md S5/S6/J2/J3) — on plain parquet:
   you'd raise n_buckets so a bucket is a few GB — batch cost scales with
   batch key spread, not table size.
 * mode='mor' (merge-on-read, the streaming default): a batch appends its
-  rows as bucket-partitioned DELTA files — no table read, no sort,
-  O(batch) per micro-batch (a 100 TB table cannot be rewritten per
-  micro-batch). LWW resolves at read (resolve_lww over base+deltas) and
-  at compaction, which runs the COW aggregation over everything once per
-  `compact_every` batches to bound read amplification — the Iceberg v2 /
-  Hudi / Paimon MoR design.
+  rows as DELTA files — no table read, no sort, O(batch) per micro-batch
+  (a 100 TB table cannot be rewritten per micro-batch). LWW resolves at
+  read (small backlogs via a broadcast key-set join against the base —
+  zero table-wide shuffle; large ones via the global aggregate) and at
+  TIERED compaction: every `compact_every` batches a MINOR fold merges
+  the deltas among themselves (O(recent data), no base read), and every
+  `major_every`-th compaction folds into the base — the Iceberg v2 /
+  Hudi / Paimon MoR + LSM-tiering design.
 * Each commit writes an immutable snapshot manifest (bucket -> data dir,
   applied batch ids, column list) and atomically swaps the `current`
   pointer (os.replace). A crash mid-merge leaves the old snapshot
@@ -132,6 +134,7 @@ class ParquetLake:
         compact_every: int = 10,
         tombstone_horizon_lsn: int | None = None,
         broadcast_delta_bytes: int = 128 * 1024 * 1024,
+        major_every: int = 4,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -140,6 +143,15 @@ class ParquetLake:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_every = compact_every
+        # Tiered compaction (LSM-style): when the delta count reaches
+        # compact_every, a MINOR compaction folds the deltas into ONE
+        # flat delta — O(recent data), NO base read — and only every
+        # `major_every`-th compaction (or when no base exists yet) runs
+        # the MAJOR fold into the base. At 100 TB this is the difference
+        # between rewriting the table every compact_every batches and
+        # every compact_every*major_every batches, while the read path
+        # sees at most compact_every-1 raw deltas plus one merged one.
+        self.major_every = major_every
         # MoR read strategy switch: when the outstanding deltas are at most
         # this many parquet bytes, read() resolves them with a BROADCAST
         # key-set join against the base (scan-only, no table-wide shuffle);
@@ -536,6 +548,7 @@ class ParquetLake:
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
             "bucket_routes": dict(meta.get("bucket_routes", {})),
+            "minor_count": meta.get("minor_count", 0),
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "flat",
                 "routes": self._listed_routes(out_dir)}],
@@ -544,9 +557,9 @@ class ParquetLake:
         }
         self._commit_snapshot(new_meta)  # batch durable before compaction
 
-        if len(new_meta["deltas"]) >= self.compact_every:
+        if self._raw_delta_count(new_meta) >= self.compact_every:
             t0 = _time.monotonic()
-            new_meta = self._compact(new_meta)
+            new_meta = self._maybe_compact(new_meta)
             stats["compact_sec"] = round(_time.monotonic() - t0, 3)
         return new_meta
 
@@ -638,6 +651,7 @@ class ParquetLake:
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
             "bucket_routes": dict(meta.get("bucket_routes", {})),
+            "minor_count": meta.get("minor_count", 0),
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "parsed",
                 "routes": self._listed_routes(out_dir)}],
@@ -647,9 +661,9 @@ class ParquetLake:
         self._commit_snapshot(new_meta)  # batch durable before compaction
         stats["delta_dir"] = out_dir
 
-        if len(new_meta["deltas"]) >= self.compact_every:
+        if self._raw_delta_count(new_meta) >= self.compact_every:
             t0 = _time.monotonic()
-            new_meta = self._compact(new_meta)
+            new_meta = self._maybe_compact(new_meta)
             stats["compact_sec"] = round(_time.monotonic() - t0, 3)
         stats["snapshot"] = new_meta["id"]
         return stats
@@ -685,13 +699,66 @@ class ParquetLake:
             deleted.alias(DELETED_COL),
         )
 
+    @staticmethod
+    def _raw_delta_count(meta: dict) -> int:
+        """Deltas appended since the last compaction of any kind — the
+        product of a MINOR fold (merged=True) does not re-trigger
+        compaction by itself."""
+        return sum(
+            1 for d in meta.get("deltas", [])
+            if not (isinstance(d, dict) and d.get("merged"))
+        )
+
+    def _maybe_compact(self, meta: dict) -> dict:
+        """Tiered compaction policy: MAJOR (fold into the base) when no
+        base exists yet or when `major_every` compactions have passed
+        since the last major; MINOR (merge the deltas among themselves)
+        otherwise."""
+        is_major = (
+            not meta.get("buckets")
+            or meta.get("minor_count", 0) >= self.major_every - 1
+        )
+        return self._compact(meta) if is_major else self._compact_minor(meta)
+
+    def _compact_minor(self, meta: dict) -> dict:
+        """MINOR compaction: fold every outstanding delta into ONE flat
+        (bucket, route)-partitioned delta — resolve_lww over the delta
+        rows alone, O(recent data), the base is never read. Tombstones
+        are always RETAINED here: a delta tombstone may still have to
+        delete a base row, so only the MAJOR fold (which applies it to
+        the base) may expire it past the horizon. LWW associativity makes
+        the pre-merge exact: max over (base ∪ merged-deltas) equals max
+        over (base ∪ raw deltas)."""
+        extra_cols = list(meta["extra_columns"])
+        _, delta = self._read_split(meta, extra_cols)
+        merged = resolve_lww(delta.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)))
+
+        data_rel = os.path.join("data", f"m{meta['id'] + 1}")
+        out_dir = os.path.join(self.table_dir, data_rel)
+        merged.repartition(
+            self.n_buckets, F.col(BUCKET_COL), F.col(ROUTE_COL)
+        ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
+
+        new_meta = {
+            **{k: v for k, v in meta.items()},
+            "id": meta["id"] + 1,
+            "parent": meta["id"],
+            "deltas": [{"path": data_rel, "format": "flat", "merged": True,
+                        "routes": self._listed_routes(out_dir)}],
+            "minor_count": meta.get("minor_count", 0) + 1,
+        }
+        self._commit_snapshot(new_meta)
+        self.expire_snapshots()
+        return new_meta
+
     def _compact(self, meta: dict) -> dict:
-        """Fold all deltas into the base: LWW over base+deltas, rewrite
-        every bucket, drop the delta list. Tombstones are RETAINED in the
-        base by default (they guard late-replayed older upserts); with
-        `tombstone_horizon_lsn` set, tombstones older than the source's
-        replay horizon are expired here — nothing older than the horizon
-        can be replayed, so the guard is no longer needed."""
+        """MAJOR compaction: fold all deltas into the base — LWW over
+        base+deltas, rewrite every bucket, drop the delta list. Tombstones
+        are RETAINED in the base by default (they guard late-replayed
+        older upserts); with `tombstone_horizon_lsn` set, tombstones older
+        than the source's replay horizon are expired here — nothing older
+        than the horizon can be replayed, so the guard is no longer
+        needed."""
         extra_cols = list(meta["extra_columns"])
         full = self._read_all(meta, extra_cols)
         merged = resolve_lww(full.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)))

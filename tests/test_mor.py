@@ -58,8 +58,10 @@ def test_mor_streaming_compacts_and_stays_correct(spark, tmp_path):
     q.awaitTermination()
     meta = mor.current_meta()
     # 8 batches with compact_every=3 => at least two compactions happened
-    # and pending deltas are below the threshold
-    assert len(meta["deltas"]) < 3
+    # and pending RAW deltas are below the threshold (a minor fold's
+    # merged delta may ride along until the next major)
+    assert ParquetLake._raw_delta_count(meta) < 3
+    assert len(meta["deltas"]) <= 3
     assert len(mor.applied_batch_ids()) == 8
 
     cow = ParquetLake(spark, str(tmp_path / "cow"), n_buckets=16, mode="cow")
@@ -226,6 +228,79 @@ def test_tombstone_horizon_expires_old_deletes(spark, tmp_path):
     assert lake.read().count() == 0
     # the lsn-5 tombstone is older than the horizon (10) => expired
     assert lake.read(include_deleted=True).count() == 0
+
+
+def test_tiered_compaction_minor_then_major(spark, tmp_path):
+    """LSM-style tiering: the first compaction (no base) is MAJOR; the
+    next is MINOR (deltas merged into one flat delta, base untouched);
+    with major_every=2 the one after folds into the base again. A delta
+    tombstone must survive minor compaction (it still has to delete a
+    base row at the next major)."""
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    def rec(value, off):
+        return {"key": None, "value": value, "topic": "t", "partition": 0,
+                "offset": off}
+
+    def env(op, after=None, before=None, lsn=0):
+        p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn}}
+        if after is not None:
+            p["after"] = after
+        if before is not None:
+            p["before"] = before
+        return json.dumps({"payload": p})
+
+    def row(i, v):
+        return {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "py",
+                "content": f"v{v}"}
+
+    lake = ParquetLake(
+        spark, str(tmp_path / "lake"), n_buckets=4, mode="mor",
+        compact_every=2, major_every=2,
+    )
+
+    def feed(bid, recs_):
+        process_batch(
+            spark.createDataFrame(recs_, schema=KAFKA_SHAPE), bid, lake
+        )
+
+    # batches 0,1 -> compaction #1: base empty => MAJOR
+    feed(0, [rec(env("c", after=row(1, 1), lsn=1), 1)])
+    feed(1, [rec(env("c", after=row(2, 2), lsn=2), 2)])
+    m = lake.current_meta()
+    assert m["buckets"] and m["deltas"] == [] and m.get("minor_count", 0) == 0
+    base_buckets = dict(m["buckets"])
+
+    # batches 2,3 (incl. a tombstone for p1) -> compaction #2: MINOR
+    feed(2, [rec(env("d", before={"repo": "r", "path": "p1"}, lsn=3), 3)])
+    feed(3, [rec(env("u", after=row(3, 4), lsn=4), 4)])
+    m = lake.current_meta()
+    assert m["minor_count"] == 1
+    assert len(m["deltas"]) == 1 and m["deltas"][0]["path"].startswith(
+        "data/m"
+    )
+    assert m["buckets"] == base_buckets  # base untouched by the minor fold
+    # the tombstone survives the minor fold and still deletes on read
+    assert ("r", "p1") not in _rows(lake)
+    dels = lake.read(include_deleted=True, include_internal=True).filter(
+        "__deleted"
+    )
+    assert dels.count() == 1
+
+    # batches 4,5 -> compaction #3: minor_count reached major_every-1 => MAJOR
+    feed(4, [rec(env("u", after=row(4, 5), lsn=5), 5)])
+    feed(5, [rec(env("u", after=row(5, 6), lsn=6), 6)])
+    m = lake.current_meta()
+    assert m["deltas"] == [] and m.get("minor_count", 0) == 0
+    assert m["buckets"] != base_buckets  # base rewritten
+
+    assert {k: v.get("content") for k, v in _rows(lake).items()} == {
+        ("r", "p2"): "v2", ("r", "p3"): "v4", ("r", "p4"): "v5",
+        ("r", "p5"): "v6",
+    }
 
 
 def test_mor_late_older_upsert_loses_to_tombstone(spark, tmp_path):
