@@ -133,7 +133,7 @@ class ParquetLake:
         mode: str = "cow",
         compact_every: int = 10,
         tombstone_horizon_lsn: int | None = None,
-        broadcast_delta_bytes: int = 128 * 1024 * 1024,
+        broadcast_delta_bytes: int = 32 * 1024 * 1024,
         major_every: int = 4,
     ):
         if mode not in ("cow", "mor"):
