@@ -415,9 +415,89 @@ WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.5
 """
 
 
+# --- connected components over the near-dup pair graph ---------------------------
+
+
+def dedup_components(spark, sf_dir):
+    """Dedup GROUP resolution — the step after LSH pair generation: every
+    document labeled with its connected component's minimum doc_id (the
+    canonical keeper; singletons keep their own id) over the
+    dedup_minhash_lsh pair graph.
+
+    Spark-first iterative algorithm: min-label propagation. Each round is
+    one distributed shuffle (neighbor labels joined in, min per node);
+    the driver loop only CHECKS convergence (changed-label count == 0) —
+    the classic Pregel/GraphX shape expressed in DataFrames. Rounds
+    needed = graph diameter, which for near-dup clusters (dense,
+    clique-ish — band collisions are transitive-ish) is small; a
+    pathological chain-shaped graph would call for the large-star/
+    small-star variant, same plumbing. Labels persist per round and the
+    previous round unpersists — O(V) memory, O(E) work per round at any
+    scale. The DuckDB oracle computes the same components via a recursive
+    reachability CTE."""
+    from pyspark import StorageLevel
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        while True:
+            neigh = edges.join(
+                labels, edges["v"] == labels["doc_id"]
+            ).select(F.col("u").alias("doc_id"), F.col("label"))
+            new_labels = (
+                labels.unionByName(neigh)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc_id", F.col("label").alias("component_id"))
+    finally:
+        edges.unpersist()
+
+
+def _sql_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_sql_minhash_bands()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), walk(u, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+)
+SELECT u AS doc_id, min(label) AS component_id FROM walk GROUP BY u
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, SQL_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_bands()),
+    "dedup_components": (dedup_components, _sql_components()),
     "dedup_simhash": (dedup_simhash, _sql_simhash()),
     "dedup_simhash_hamming": (dedup_simhash_hamming, _sql_simhash_hamming()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _sql_ngram_jaccard()),
