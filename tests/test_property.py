@@ -89,7 +89,13 @@ def _record(ev, offset):
 
 
 def _engine_state(spark, tmp_dir, batches):
-    lake = ParquetLake(spark, tmp_dir, n_buckets=4, mode="mor", compact_every=3)
+    # compact_every=2 + major_every=2 exercises BOTH compaction tiers
+    # (major on the first fold, minor on the next) and the broadcast MoR
+    # read path under arbitrary event interleavings and batch splits
+    lake = ParquetLake(
+        spark, tmp_dir, n_buckets=4, mode="mor", compact_every=2,
+        major_every=2,
+    )
     for i, batch in enumerate(batches):
         df = spark.createDataFrame(batch, schema=KAFKA_SHAPE)
         process_batch(df, i, lake)
