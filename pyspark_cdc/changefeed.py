@@ -1,0 +1,128 @@
+"""Net-effect CDC change feed — a custom STATEFUL streaming operator
+(`applyInPandasWithState`, the one place the engine keeps per-key state
+ACROSS micro-batches outside the lake itself).
+
+Downstream consumers of a CDC pipeline usually want the *net* change
+stream: "tell me when a key's visible state actually moves", not every
+at-least-once redelivery or stale out-of-order replay. The lake's LWW
+merge absorbs those internally, but a consumer tailing the raw parsed
+stream would see them. This operator suppresses them with keyed state:
+
+* per (repo, path) the state store holds the last ADVANCED ordering
+  tuple (lsn, tx_id, ts_ms, offset) + deleted flag;
+* each micro-batch reduces the key's events to the batch LWW winner
+  (micro-batch granularity is the natural unit — intermediate versions
+  inside one batch were never visible downstream anyway);
+* the winner emits ONLY if its ordering advances the stored state —
+  duplicates (same ordering) and stale replays (lower ordering) emit
+  nothing;
+* reference-semantics niceties: a delete for a key that is absent or
+  already deleted emits nothing (DeleteDocument on a missing id is a
+  no-op, sync.go:108-113), and a revive after delete emits as an upsert.
+
+State size: O(live keys) x ~40 bytes. A production deployment bounds it
+with a timeout tied to the source's replay horizon (state older than the
+horizon can never be contradicted, so it can expire exactly like lake
+tombstones — GroupStateTimeout.ProcessingTimeTimeout); the operator
+keeps NoTimeout here because the sandbox logs are finite.
+
+Vectorization note: this is exactly the case the brief reserves for
+`applyInPandasWithState` — per-key stateful logic the built-in operators
+cannot express. The per-group pandas work is a handful of column ops on
+small batch slices, Arrow-transferred.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .schemas import KEY_COLS, LSN_COL, OFFSET_COL, TS_COL, TX_COL
+
+ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("change", T.StringType()),  # 'upsert' | 'delete'
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField(LSN_COL, T.LongType()),
+        T.StructField(TX_COL, T.LongType()),
+        T.StructField(TS_COL, T.LongType()),
+        T.StructField(OFFSET_COL, T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("off", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+
+def _advance(
+    key: Tuple[Any, ...], pdfs: Iterable, state: GroupState
+) -> Iterator:
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    # batch LWW winner by the (lsn, tx, ts, offset) tuple
+    rows = rows.sort_values(ORD_COLS, kind="mergesort")
+    w = rows.iloc[-1]
+    ordw = (int(w[LSN_COL]), int(w[TX_COL]), int(w[TS_COL]), int(w[OFFSET_COL]))
+
+    prev = state.get if state.exists else None  # (lsn, tx, ts, off, deleted)
+    if prev is not None and ordw <= tuple(prev[:4]):
+        return  # duplicate or stale replay: nothing advances
+    deleted = w["effective_op"] == "d"
+    was_deleted = prev is None or bool(prev[4])
+    state.update((*ordw, bool(deleted)))
+    if deleted and was_deleted:
+        # delete of an absent/already-deleted key: net no-op
+        # (sync.go:108-113); state still advances so an even-later stale
+        # upsert stays suppressed
+        return
+    yield pd.DataFrame(
+        [
+            {
+                "repo": key[0],
+                "path": key[1],
+                "change": "delete" if deleted else "upsert",
+                "commit": None if deleted else w["commit"],
+                "lang": None if deleted else w["lang"],
+                "content": None if deleted else w["content"],
+                LSN_COL: ordw[0],
+                TX_COL: ordw[1],
+                TS_COL: ordw[2],
+                OFFSET_COL: ordw[3],
+            }
+        ]
+    )
+
+
+def change_feed(parsed: DataFrame) -> DataFrame:
+    """parsed change stream (streaming DataFrame) -> net-effect feed.
+    Append output mode; one row per key per micro-batch at most."""
+    ok = parsed.filter(F.col("status") == "ok").select(
+        *KEY_COLS, "effective_op", "commit", "lang", "content", *ORD_COLS
+    )
+    return ok.groupBy(*KEY_COLS).applyInPandasWithState(
+        _advance,
+        FEED_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,115 @@
+"""Net-effect change feed (custom stateful operator,
+applyInPandasWithState): keyed state must carry ACROSS micro-batches —
+duplicates and stale out-of-order replays emit nothing, deletes of
+absent keys are net no-ops, revives emit as upserts."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark_cdc.changefeed import change_feed
+from pyspark_cdc.parse import parse_envelopes
+from pyspark_cdc.schemas import KAFKA_SHAPE
+from pyspark_cdc.sources import file_stream
+
+
+def _env(op, after=None, before=None, lsn=0):
+    p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn},
+         "transaction": {"id": lsn}}
+    if after is not None:
+        p["after"] = after
+    if before is not None:
+        p["before"] = before
+    return json.dumps({"payload": p})
+
+
+def _row(repo, path, v, **extra):
+    return {"repo": repo, "path": path, "commit": f"{v:040d}", "lang": "py",
+            "content": f"content {repo}/{path} v{v}", **extra}
+
+
+def _write_batch(log_dir, idx, events, mtime):
+    """One parquet file per intended micro-batch; the streaming file
+    source orders batches by modification time, pinned via os.utime."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"batch-{idx:03d}.parquet")
+    cols = {
+        "key": [None] * len(events),
+        "value": [e[0] for e in events],
+        "topic": ["t"] * len(events),
+        "partition": [0] * len(events),
+        "offset": [e[1] for e in events],
+    }
+    schema = pa.schema([
+        ("key", pa.string()), ("value", pa.string()), ("topic", pa.string()),
+        ("partition", pa.int32()), ("offset", pa.int64()),
+    ])
+    pq.write_table(
+        pa.table({n: pa.array(cols[n], type=schema.field(n).type) for n in cols}),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def test_change_feed_suppresses_duplicates_and_stale(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    t0 = time.time() - 100
+
+    # batch 0: create k1 v1 (twice - duplicate delivery); create k2 v2;
+    #          create+delete k3 inside one batch (net delete of a key the
+    #          feed never showed => nothing emits for k3)
+    _write_batch(log_dir, 0, [
+        (_env("c", _row("r", "k1", 1), lsn=1), 1),
+        (_env("c", _row("r", "k1", 1), lsn=1), 1),
+        (_env("c", _row("r", "k2", 2), lsn=2), 2),
+        (_env("c", _row("r", "k3", 3), lsn=3), 3),
+        (_env("d", before={"repo": "r", "path": "k3"}, lsn=4), 4),
+    ], t0)
+    # batch 1: stale replay of k1 v1 (ordering does not advance => no
+    #          emission); real update k2 v5; delete of never-created k4
+    #          (net no-op)
+    _write_batch(log_dir, 1, [
+        (_env("c", _row("r", "k1", 1), lsn=1), 1),
+        (_env("u", _row("r", "k2", 5), lsn=5), 5),
+        (_env("d", before={"repo": "r", "path": "k4"}, lsn=6), 6),
+    ], t0 + 10)
+    # batch 2: delete k1; then batch 3: revive k1 (emits as upsert)
+    _write_batch(log_dir, 2, [
+        (_env("d", before={"repo": "r", "path": "k1"}, lsn=7), 7),
+    ], t0 + 20)
+    _write_batch(log_dir, 3, [
+        (_env("c", _row("r", "k1", 8), lsn=8), 8),
+        # and an OLDER stale update for k2, suppressed by cross-batch state
+        (_env("u", _row("r", "k2", 4), lsn=4), 4),
+    ], t0 + 30)
+
+    feed = change_feed(parse_envelopes(file_stream(spark, log_dir,
+                                                   max_files_per_trigger=1)))
+    q = (
+        feed.writeStream.format("memory").queryName("net_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        ((r["repo"], r["path"]), r["change"], r["__lsn"], r["content"])
+        for r in spark.sql("SELECT * FROM net_feed").collect()
+    )
+    assert rows == [
+        (("r", "k1"), "delete", 7, None),
+        (("r", "k1"), "upsert", 1, "content r/k1 v1"),
+        (("r", "k1"), "upsert", 8, "content r/k1 v8"),
+        (("r", "k2"), "upsert", 2, "content r/k2 v2"),
+        (("r", "k2"), "upsert", 5, "content r/k2 v5"),
+    ]
+    # k3 (create+delete in one batch), k4 (delete of absent), the k1
+    # duplicate, and both stale k1/k2 replays emitted NOTHING — 5 net
+    # changes from 11 input events, with state carried across 4 batches
