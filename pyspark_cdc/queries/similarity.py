@@ -248,25 +248,34 @@ SQL_LSH = _sql_lsh()
 
 
 N_CENTROIDS = 8  # IVF coarse quantizer size (deterministic seed vectors)
+# Multi-probe (round 3; single-probe recall was 0.24): each query probes
+# its N_PROBE nearest centroids' posting lists — the standard IVF nprobe
+# knob. Measured on sf0.01: nprobe 3/4/5 => recall 0.44/0.54/0.78 of
+# brute-force top-10. The corpus is near-isotropic (no cluster structure
+# for the quantizer to exploit — see the LSH note above), which is why
+# the multi-TABLE LSH reaches higher recall per candidate scanned here;
+# on real clustered embeddings IVF's posting lists align with the data
+# and nprobe stays small. pytest gates recall >= 0.7 at nprobe=5.
+N_PROBE = 5
 
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: a deterministic coarse quantizer (centroids = the
     vectors with vec_id in [N_QUERIES, N_QUERIES+N_CENTROIDS)) partitions
     the corpus into posting lists by nearest centroid; each query probes
-    ONLY its own nearest centroid's list, then exact cosine top-k ranks
-    the candidates. At 100 TB the assignment is one broadcast pass
-    (centroids are tiny) and the probe is an equi-join on centroid id —
-    no all-pairs scan. A production build would k-means the centroids;
-    the deterministic seed choice keeps the DuckDB oracle bit-exact and
-    exercises the identical plan shape."""
+    its N_PROBE nearest centroids' lists (multi-probe), then exact cosine
+    top-k ranks the candidates. At 100 TB the assignment is one broadcast
+    pass (centroids are tiny) and the probe is an equi-join on centroid
+    id — no all-pairs scan. A production build would k-means the
+    centroids; the deterministic seed choice keeps the DuckDB oracle
+    bit-exact and exercises the identical plan shape."""
     emb = _emb(spark, sf_dir)
     cent = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
 
-    def assign(df, vec_col, out):
-        # nearest centroid by cosine; ties break on centroid id
+    def assign(df, vec_col, out, n_keep=1):
+        # nearest centroid(s) by cosine; ties break on centroid id
         scored = df.join(F.broadcast(cent)).select(
             *df.columns,
             F.col("c_id"),
@@ -277,7 +286,7 @@ def ann_ivf_topk(spark, sf_dir):
         )
         return (
             scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .filter(F.col("_rn") <= n_keep)
             .select(*df.columns, F.col("c_id").alias(out))
         )
 
@@ -289,6 +298,7 @@ def ann_ivf_topk(spark, sf_dir):
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
         "q_vec",
         "q_list",
+        n_keep=N_PROBE,
     )
     cand = corpus.join(
         F.broadcast(q),
@@ -330,7 +340,7 @@ WITH cent AS (
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {_SQL_COS.format(a='e.embedding', b='c.c_vec')} DESC, c.c_id ASC) AS rn
     FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < {N_QUERIES}
-  ) WHERE rn = 1
+  ) WHERE rn <= {N_PROBE}
 ), scored AS (
   SELECT q.q_id, corpus.vec_id AS neighbor_id,
          round({_SQL_COS.format(a='q.q_vec', b='corpus.embedding')}, 4) AS cos

@@ -32,6 +32,16 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark):
 
 
 @needs_sf
+def test_ivf_multiprobe_recall_vs_bruteforce(spark):
+    from pyspark_cdc.queries.similarity import ann_bruteforce_topk, ann_ivf_topk
+
+    truth = _pairs(ann_bruteforce_topk(spark, SF_DIR))
+    got = _pairs(ann_ivf_topk(spark, SF_DIR))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, f"IVF nprobe recall {recall:.2f} < 0.7"
+
+
+@needs_sf
 def test_lsh_plan_stays_bucketed(spark):
     """The candidate stage must remain an equi-join on (table, bucket) —
     no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
