@@ -55,7 +55,15 @@ def packed_ord(cols: list[str] = ORD_COLS):
     rows a second time. The packed key is kept for the cheaper comparator
     and the simpler ordering contract."""
     parts = [
-        F.lpad(F.hex(F.col(c).bitwiseXOR(F.lit(_SIGN_BIT))), 16, "0") for c in cols
+        # null ordering fields rank as 0, matching the oracle's
+        # missing-metadata coalesce (parse.py already coalesces, so this
+        # only guards rows from exotic/legacy inputs)
+        F.lpad(
+            F.hex(F.coalesce(F.col(c), F.lit(0)).bitwiseXOR(F.lit(_SIGN_BIT))),
+            16,
+            "0",
+        )
+        for c in cols
     ]
     return F.unhex(F.concat(*parts))
 

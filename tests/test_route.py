@@ -80,6 +80,25 @@ def test_unknown_route_reads_empty_without_other_tenants(spark, tmp_path):
     assert lake.read(route="cdc.public.no_such_tenant").count() == 0
 
 
+def test_broadcast_and_global_read_strategies_agree(spark, tmp_path):
+    """The two MoR read strategies — broadcast key-set join (small delta
+    backlog) and the global LWW aggregate (large backlog / forced here
+    via broadcast_delta_bytes=0) — must produce the identical table."""
+    lake = _mklake(spark, tmp_path, compact_every=2)  # base + deltas mix
+    assert lake.current_meta()["deltas"], "need outstanding deltas"
+    bcast = _rows(lake.read())
+    lake.broadcast_delta_bytes = 0  # force the global-aggregate fallback
+    agg = _rows(lake.read())
+    assert bcast == agg
+    # and per-tenant reads agree across strategies too
+    lake.broadcast_delta_bytes = 32 * 1024 * 1024
+    for route in generate.TOPICS:
+        b = _rows(lake.read(route=route))
+        lake.broadcast_delta_bytes = 0
+        assert b == _rows(lake.read(route=route))
+        lake.broadcast_delta_bytes = 32 * 1024 * 1024
+
+
 def test_numeric_route_stays_string(spark, tmp_path):
     """A numeric-looking tenant name ('123') must round-trip as a STRING
     through the route partition dirs (Hive partition type inference would
