@@ -218,6 +218,10 @@ def main() -> int:
                                                  "BatchEvalPython"]),
         # pagination compiles to a partial top-K, not a global window sort
         ("q7_sort_paginate", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+        # per-group top-k: the rank filter pushes into WindowGroupLimit
+        # (partial per-partition top-k BEFORE the shuffle, Spark 3.5+) —
+        # a hot group ships k rows per map task, not its whole history
+        ("q_topk_per_group", ["WindowGroupLimit"], ["BatchEvalPython"]),
         # banded LSH: equi-join on the band, never a cartesian
         ("emb_neardup_pairs", [], ["CartesianProduct", "BroadcastNestedLoopJoin",
                                    "BatchEvalPython"]),
