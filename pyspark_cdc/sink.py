@@ -739,12 +739,30 @@ class ParquetLake:
             self.n_buckets, F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
 
+        # A backlog whose rows are ALL dead letters folds to ZERO ok rows:
+        # the write leaves only _SUCCESS (no partition dirs), and
+        # registering that directory as a flat delta would break every
+        # subsequent read (spark.read.parquet on a file-less dir cannot
+        # infer a schema). LWW associativity makes dropping the fold exact:
+        # max over (base ∪ ∅) == max over base, and dead-letter rows never
+        # participate in the merge anyway (any minor fold discards them).
+        wrote_rows = any(
+            d.startswith(f"{BUCKET_COL}=") for d in os.listdir(out_dir)
+        )
+        folded = (
+            [{"path": data_rel, "format": "flat", "merged": True,
+              "routes": self._listed_routes(out_dir)}]
+            if wrote_rows
+            else []
+        )
+        if not wrote_rows:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
         new_meta = {
             **{k: v for k, v in meta.items()},
             "id": meta["id"] + 1,
             "parent": meta["id"],
-            "deltas": [{"path": data_rel, "format": "flat", "merged": True,
-                        "routes": self._listed_routes(out_dir)}],
+            "deltas": folded,
             "minor_count": meta.get("minor_count", 0) + 1,
         }
         self._commit_snapshot(new_meta)

@@ -335,3 +335,90 @@ def test_mor_late_older_upsert_loses_to_tombstone(spark, tmp_path):
     )
     process_batch(b2, 1, mor)
     assert _rows(mor) == {}  # tombstone still wins at read time
+
+
+def test_minor_compaction_all_dead_letter_backlog(spark, tmp_path):
+    """Regression (round-3 red test, deterministic repro): a delta backlog
+    whose rows are ALL dead letters folds to ZERO ok rows at the MINOR
+    tier. The fold must commit `deltas: []` instead of registering a
+    file-less directory as a flat delta — otherwise every subsequent
+    lake.read() dies with UNABLE_TO_INFER_SCHEMA."""
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    def rec(value, off):
+        return {"key": None, "value": value, "topic": "t", "partition": 0,
+                "offset": off}
+
+    def upsert(repo, path, lsn):
+        return rec(json.dumps({"payload": {
+            "op": "c", "source": {"lsn": lsn, "ts_ms": lsn},
+            "after": {"repo": repo, "path": path, "commit": f"c{lsn}",
+                      "lang": "py", "content": f"v{lsn}"},
+        }}), lsn)
+
+    # compact_every=2, major_every=2: batches 0-1 -> MAJOR fold (creates
+    # the base); batches 2-3 (dead letters only) -> MINOR fold over a
+    # zero-ok-row backlog — the exact round-3 failure shape.
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor",
+                      compact_every=2, major_every=2)
+    process_batch(spark.createDataFrame(
+        [upsert("r0", "a", 1)], schema=KAFKA_SHAPE), 0, mor)
+    process_batch(spark.createDataFrame(
+        [upsert("r0", "b", 2)], schema=KAFKA_SHAPE), 1, mor)
+    base_state = _rows(mor)
+    assert set(base_state) == {("r0", "a"), ("r0", "b")}
+
+    bad = [rec('{"payload": {nope', 10), rec("", 11)]  # malformed + tombstone
+    process_batch(spark.createDataFrame(bad, schema=KAFKA_SHAPE), 2, mor)
+    process_batch(spark.createDataFrame(bad, schema=KAFKA_SHAPE), 3, mor)
+
+    meta = mor.current_meta()
+    assert meta["deltas"] == []  # zero-row fold dropped, not registered
+    assert _rows(mor) == base_state  # read survives and is unchanged
+
+    # the table keeps working: a later normal batch lands and reads back
+    process_batch(spark.createDataFrame(
+        [upsert("r1", "c", 20)], schema=KAFKA_SHAPE), 4, mor)
+    assert ("r1", "c") in _rows(mor)
+
+
+def test_major_compaction_expired_tombstones_only(spark, tmp_path):
+    """An empty MAJOR fold: a table whose only rows are tombstones older
+    than tombstone_horizon_lsn compacts to ZERO buckets. read() must
+    return an empty frame (not crash), and later batches must land."""
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    def rec(value, off):
+        return {"key": None, "value": value, "topic": "t", "partition": 0,
+                "offset": off}
+
+    def delete(repo, path, lsn):
+        return rec(json.dumps({"payload": {
+            "op": "d", "source": {"lsn": lsn, "ts_ms": lsn},
+            "before": {"repo": repo, "path": path},
+        }}), lsn)
+
+    # every batch triggers a MAJOR fold; horizon expires all tombstones
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor",
+                      compact_every=1, major_every=1,
+                      tombstone_horizon_lsn=100)
+    process_batch(spark.createDataFrame(
+        [delete("r0", "a", 5)], schema=KAFKA_SHAPE), 0, mor)
+
+    meta = mor.current_meta()
+    assert meta["buckets"] == {} and meta["deltas"] == []
+    assert _rows(mor) == {}
+    assert mor.read(include_deleted=True).count() == 0
+
+    process_batch(spark.createDataFrame([rec(json.dumps({"payload": {
+        "op": "c", "source": {"lsn": 200, "ts_ms": 200},
+        "after": {"repo": "r1", "path": "b", "commit": "c", "lang": "py",
+                  "content": "v"},
+    }}), 1)], schema=KAFKA_SHAPE), 1, mor)
+    assert set(_rows(mor)) == {("r1", "b")}
