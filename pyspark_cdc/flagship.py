@@ -39,6 +39,31 @@ def flagship_lake(spark: SparkSession):
     )
 
 
+def fieldroute_lake(spark: SparkSession):
+    """Lake built from the field-route log with route_from_fields=True —
+    the reference's exact ResolveIndex routing (sync.go:176-196) driving
+    the engine's route-partitioned layout end to end."""
+    from .pylog import ensure_fieldroute_log
+    from .sink import ParquetLake
+    from .stream import replay_batch
+
+    log_dir = ensure_fieldroute_log()
+    if _CACHE.get("fieldroute_dir") is None:
+        lake_root = tempfile.mkdtemp(prefix="pyspark_cdc_fieldroute_lake_")
+        lake = ParquetLake(
+            spark, os.path.join(lake_root, "lake"), n_buckets=8, mode="mor"
+        )
+        replay_batch(spark, log_dir, lake, route_from_fields=True)
+        _CACHE["fieldroute_dir"] = lake_root
+        return lake
+    from .sink import ParquetLake as PL
+
+    return PL(
+        spark, os.path.join(_CACHE["fieldroute_dir"], "lake"), n_buckets=8,
+        mode="mor",
+    )
+
+
 def flagship_replay(spark: SparkSession) -> DataFrame:
     """Final table state after replaying the flagship log through
     parse -> LWW -> bucketed MoR MERGE, with the per-row content sha256

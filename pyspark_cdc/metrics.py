@@ -5,7 +5,7 @@ For every micro-batch we append one row per (topic, partition) to a
 parquet metrics table:
 
     batch_id, topic, partition, n_records, n_ok, n_upserts, n_deletes,
-    n_tombstone, n_malformed, n_unknown_op, n_bad_payload, n_missing_key,
+    n_tombstone, n_malformed, n_unknown_op, n_bad_payload, n_missing_key, n_missing_route,
     min_offset, max_offset, min_lsn, max_lsn, batch_wall_ms
 
 The dead-letter taxonomy mirrors the reference's log-and-skip behavior
@@ -35,6 +35,7 @@ def batch_lineage(parsed: DataFrame, batch_id) -> DataFrame:
         F.sum((s == "unknown_op").cast("long")).alias("n_unknown_op"),
         F.sum((s == "bad_payload").cast("long")).alias("n_bad_payload"),
         F.sum((s == "missing_key").cast("long")).alias("n_missing_key"),
+        F.sum((s == "missing_route").cast("long")).alias("n_missing_route"),
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
         F.min(F.when(s == "ok", F.col(LSN_COL))).alias("min_lsn"),
@@ -59,6 +60,7 @@ def delta_lineage(spark, delta_dir: str, batch_id) -> DataFrame:
         F.sum((s == "unknown_op").cast("long")).alias("n_unknown_op"),
         F.sum((s == "bad_payload").cast("long")).alias("n_bad_payload"),
         F.sum((s == "missing_key").cast("long")).alias("n_missing_key"),
+        F.sum((s == "missing_route").cast("long")).alias("n_missing_route"),
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
         F.min(F.when(s == "ok", F.col(LSN_COL))).alias("min_lsn"),
@@ -71,7 +73,7 @@ LINEAGE_FIELDS = [
     ("n_ok", "int64"), ("n_upserts", "int64"), ("n_deletes", "int64"),
     ("n_tombstone", "int64"), ("n_malformed", "int64"),
     ("n_unknown_op", "int64"), ("n_bad_payload", "int64"),
-    ("n_missing_key", "int64"),
+    ("n_missing_key", "int64"), ("n_missing_route", "int64"),
     ("min_offset", "int64"), ("max_offset", "int64"),
     ("min_lsn", "int64"), ("max_lsn", "int64"),
     ("batch_id", "int64"), ("batch_wall_ms", "float64"),

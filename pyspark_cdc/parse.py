@@ -3,7 +3,8 @@
 Input:  Kafka-shaped records (schemas.KAFKA_SHAPE).
 Output: one normalized row per record with
     status        'ok' | 'tombstone' | 'malformed' | 'unknown_op'
-                  | 'bad_payload' | 'missing_key'
+                  | 'bad_payload' | 'missing_key' | 'missing_route'
+                  (the last only with route_from_fields=True)
     effective_op  'u' (upsert) | 'd' (delete)           for status='ok'
     repo, path    string-coerced primary key
     commit, lang, content                                domain columns
@@ -73,6 +74,12 @@ PARSE_ENVELOPE_SCHEMA = T.StructType(
                             [
                                 T.StructField("repo", T.StringType(), True),
                                 T.StructField("path", T.StringType(), True),
+                                # field-derived routing (route_from_fields):
+                                # a delete's route comes from `before`
+                                # (sync.go:146-156, ResolveIndex over the
+                                # before map); unused in topic-route mode
+                                T.StructField("app_name", T.StringType(), True),
+                                T.StructField("collection", T.StringType(), True),
                             ]
                         ),
                         True,
@@ -129,9 +136,24 @@ def _not_known(k: Column) -> Column:
     return ~k.isin(_KNOWN_AFTER_KEYS)
 
 
-def parse_envelopes(raw: DataFrame) -> DataFrame:
+def parse_envelopes(raw: DataFrame, route_from_fields: bool = False) -> DataFrame:
     """P1-P10: Kafka records -> normalized change rows (all statuses kept;
-    downstream filters on status, metrics counts every status)."""
+    downstream filters on status, metrics counts every status).
+
+    route_from_fields=True is the reference's exact routing semantic
+    (ResolveIndex, sync.go:176-196): route = '{app_name}_{collection}'
+    derived from the record's FIELDS — the selected doc for upserts (with
+    a flat after-image value winning on key presence, the extractDocument
+    carry-over sync.go:239-245), the `before` image for deletes — and a
+    record whose app_name or collection is null/empty becomes a
+    'missing_route' dead letter (the skip at sync.go:54-67). The consumed
+    fields are dropped from the doc (sync.go:78-81), so they are not
+    extras in this mode. Divergence, documented: a present-but-JSON-null
+    field counts as MISSING here, where Go's fmt.Sprint(nil) renders the
+    non-empty text '<nil>' — an artifact no real producer emits.
+
+    The default (False) keeps topic-as-route: Debezium is
+    one-topic-per-table, so the topic IS the routing identity."""
     v = F.trim(F.col("value"))
     is_tombstone = F.col("value").isNull() | (v == "") | (v == "null")
 
@@ -247,14 +269,54 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         .when(~known_op, F.lit("unknown_op"))
         .when(bad_payload, F.lit("bad_payload"))
         .when(missing_key, F.lit("missing_key"))
-        .otherwise(F.lit("ok"))
     )
+
+    if route_from_fields:
+        # ResolveIndex (sync.go:176-196): route fields come from the
+        # selected doc with flat-after-image override on key PRESENCE
+        # (extractDocument copies base's value last, sync.go:239-245);
+        # a delete's come from `before` (the doc handed to ResolveIndex
+        # on the op='d' branch, sync.go:153-156).
+        def route_field(field: str) -> Column:
+            flat_has = after_map.isNotNull() & F.map_contains_key(after_map, field)
+            upsert_val = F.when(flat_has, F.element_at(after_map, field)).otherwise(
+                from_doc(field)
+            )
+            return F.when(op == "d", before.getField(field)).otherwise(upsert_val)
+
+        app_name = route_field("app_name")
+        collection = route_field("collection")
+        missing_route = (
+            app_name.isNull()
+            | (app_name == "")
+            | collection.isNull()
+            | (collection == "")
+        )
+        status = status.when(missing_route, F.lit("missing_route")).otherwise(
+            F.lit("ok")
+        )
+        # Dead letters keep the topic as their partition identity (the
+        # DLQ layout); only ok rows carry the derived route.
+        route = F.when(
+            status == "ok", F.concat_ws("_", app_name, collection)
+        ).otherwise(F.col("topic"))
+    else:
+        status = status.otherwise(F.lit("ok"))
+        # P8 default: each source topic IS the route (one topic per source
+        # table in Debezium), materialized as a sink identity column.
+        route = F.col("topic")
 
     # Open-world extras: every key of the SELECTED doc outside the known
     # set (replace semantics — flat extras are dropped when an inner
     # payload/doc was unwrapped, exactly as the reference's doc is the
-    # inner map alone, sync.go:204-222).
-    extras = F.map_filter(sel, lambda k, _: _not_known(k))
+    # inner map alone, sync.go:204-222). Field-routing consumes its two
+    # fields (the reference deletes them from the doc, sync.go:78-81).
+    if route_from_fields:
+        extras = F.map_filter(
+            sel, lambda k, _: _not_known(k) & ~k.isin("app_name", "collection")
+        )
+    else:
+        extras = F.map_filter(sel, lambda k, _: _not_known(k))
 
     return df.select(
         status.alias("status"),
@@ -265,11 +327,10 @@ def parse_envelopes(raw: DataFrame) -> DataFrame:
         from_doc("lang").alias("lang"),
         from_doc("content").alias("content"),
         F.when(status == "ok", extras).alias("extras"),
-        # P8: routing identity — the reference resolves a per-record index
-        # {app_name}_{collection} (sync.go:176-196); here each source
-        # topic IS the route (one topic per source table in Debezium),
-        # materialized as a sink identity column carried through the MERGE.
-        F.col("topic").alias("route"),
+        # P8: routing identity column carried through the MERGE (derived
+        # above: topic-as-route by default, ResolveIndex field derivation
+        # with route_from_fields=True).
+        route.alias("route"),
         F.coalesce(p.getField("source").getField("lsn"), F.lit(0)).alias(LSN_COL),
         # transaction.id is a STRING in real Debezium output ("571");
         # numeric source.txId is the fallback (same transaction)

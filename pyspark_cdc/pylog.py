@@ -114,8 +114,8 @@ def flagship_events() -> list[dict]:
     return edge_case_events() + bulk_events_py()
 
 
-def ensure_flagship_log(base_dir: str = FLAGSHIP_DIR, n_files: int = 4) -> str:
-    """Idempotently materialize the flagship log as parquet; atomic via
+def _write_event_log(base_dir: str, events: list[dict], n_files: int) -> str:
+    """Idempotently materialize an event list as parquet; atomic via
     write-to-temp + rename, so concurrent callers are safe."""
     marker = os.path.join(base_dir, "_COMPLETE")
     if os.path.exists(marker):
@@ -124,7 +124,6 @@ def ensure_flagship_log(base_dir: str = FLAGSHIP_DIR, n_files: int = 4) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    events = flagship_events()
     tmp = f"{base_dir}.tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     schema = pa.schema(
@@ -157,3 +156,106 @@ def ensure_flagship_log(base_dir: str = FLAGSHIP_DIR, n_files: int = 4) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return base_dir
+
+
+def ensure_flagship_log(base_dir: str = FLAGSHIP_DIR, n_files: int = 4) -> str:
+    return _write_event_log(base_dir, flagship_events(), n_files)
+
+
+# --- field-derived routing log (route_from_fields mode) ----------------------
+#
+# The reference resolves a per-record index {app_name}_{collection} from
+# document FIELDS (ResolveIndex, sync.go:176-196) and skips records where
+# either is empty (sync.go:54-67). This log exercises every derivation
+# path: flat fields, inner-payload fields, the flat-over-inner override
+# (decoy inner values that MUST lose), delete routes from `before`, and
+# missing/empty fields -> 'missing_route' dead letters.
+
+FIELDROUTE_VERSION = 1
+FIELDROUTE_N_EVENTS = 3_000
+FIELDROUTE_N_KEYS = 400
+FIELDROUTE_DIR = f"/tmp/pyspark_cdc_fieldroute_log_v{FIELDROUTE_VERSION}"
+FIELDROUTE_LSN_BASE = 10_000
+
+_APPS = ["shop", "wiki", "crm"]
+_COLLECTIONS = ["products", "pages", "users"]
+
+
+def fieldroute_events(
+    n_events: int = FIELDROUTE_N_EVENTS, n_keys: int = FIELDROUTE_N_KEYS
+) -> list[dict]:
+    out = []
+    for i in range(n_events):
+        lsn = FIELDROUTE_LSN_BASE + i
+        key_id = _h(i, "fr-key") % n_keys
+        repo = f"org{key_id % 20}/proj"
+        path = f"src/f{key_id}.py"
+        # route fields are a function of the KEY (route is functionally
+        # determined by the merge key, as one source table -> one index)
+        app = _APPS[key_id % len(_APPS)]
+        coll = _COLLECTIONS[(key_id // len(_APPS)) % len(_COLLECTIONS)]
+        md = hashlib.md5(f"{repo}|{path}|{lsn}".encode()).hexdigest()
+        doc = {
+            "repo": repo,
+            "path": path,
+            "commit": (md + md)[:40],
+            "lang": ["py", "go", "ts"][key_id % 3],
+            "content": f"file {path} of {repo} v{lsn} " + md,
+        }
+
+        r = _h(i, "fr-op") % 1000
+        if r < 20:  # hard delete, route from `before`
+            value = _env(
+                "d",
+                before={"repo": repo, "path": path, "app_name": app,
+                        "collection": coll},
+                lsn=lsn, tx=lsn,
+            )
+        elif r < 35:  # hard delete WITHOUT route fields -> missing_route
+            value = _env("d", before={"repo": repo, "path": path}, lsn=lsn, tx=lsn)
+        elif r < 65:  # soft delete with flat route fields
+            after = dict(doc, is_delete="true", app_name=app, collection=coll)
+            value = _env("u", after, lsn=lsn, tx=lsn)
+        elif r < 80:  # collection missing -> missing_route
+            value = _env("u", dict(doc, app_name=app), lsn=lsn, tx=lsn)
+        elif r < 95:  # empty-string app_name -> missing_route
+            value = _env(
+                "u", dict(doc, app_name="", collection=coll), lsn=lsn, tx=lsn
+            )
+        elif r < 115:  # inner payload carries the route fields
+            inner = json.dumps(dict(doc, app_name=app, collection=coll))
+            value = _env(
+                "u", {"repo": repo, "path": path, "payload": inner},
+                lsn=lsn, tx=lsn,
+            )
+        elif r < 135:  # flat-over-inner override: decoy inner values LOSE
+            inner = json.dumps(
+                dict(doc, app_name="decoy", collection="decoy")
+            )
+            value = _env(
+                "u",
+                {"repo": repo, "path": path, "payload": inner,
+                 "app_name": app, "collection": coll},
+                lsn=lsn, tx=lsn,
+            )
+        elif r < 142:  # malformed JSON
+            value = '{"payload": {broken'
+        elif r < 149:  # tombstone
+            value = "" if _h(i, "fr-tb") % 2 == 0 else "null"
+        elif r < 156:  # unknown op
+            value = _env("x", dict(doc, app_name=app, collection=coll),
+                         lsn=lsn, tx=lsn)
+        else:  # plain upsert with flat route fields
+            op = "r" if r < 200 else ("c" if i % 7 == 0 else "u")
+            value = _env(op, dict(doc, app_name=app, collection=coll),
+                         lsn=lsn, tx=lsn)
+
+        rec = _rec(value, key=json.dumps({"repo": repo, "path": path}),
+                   lsn=lsn, partition=_h(i, "fr-pt") % 8)
+        rec["topic"] = topic_for(repo)
+        out.append(rec)
+    return out
+
+
+def ensure_fieldroute_log(base_dir: str = FIELDROUTE_DIR, n_files: int = 4) -> str:
+    return _write_event_log(base_dir, fieldroute_events(), n_files)

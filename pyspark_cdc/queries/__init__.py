@@ -24,8 +24,15 @@ def load(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# EXACTLY 50 entries, deliberately: the driver's CORRECTNESS run records
+# at most 50 rows (round 3 registered 51 and the 51st — the last in
+# insertion order, mm_frame_sample — was silently dropped from
+# CORRECTNESS_r03.json despite being green in r02 and locally). Order
+# puts the engine rows first; q3b/array-contains is folded into
+# q3_set_membership and token counting into text_quality_score (the
+# Q8-into-Q7 precedent) so every operator keeps oracle evidence.
 REGISTRY: dict = {}
-for mod in (cdc, engine, state, dedup, similarity, text, multimodal):
+for mod in (cdc, engine, multimodal, text, state, dedup, similarity):
     REGISTRY.update(mod.QUERIES)
 
 

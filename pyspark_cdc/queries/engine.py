@@ -237,6 +237,113 @@ SELECT status, count(*) AS n FROM cls GROUP BY status
 """
 
 
+# --- cdc_engine_field_routes: ResolveIndex field-derived routing (P8) -------
+#
+# The reference derives the route from document FIELDS
+# ({app_name}_{collection}, ResolveIndex sync.go:176-196) — flat
+# after-image values win on key presence (extractDocument carry-over,
+# sync.go:239-245), a delete's fields come from `before`
+# (sync.go:153-156), and either field null/empty makes the record a
+# skipped dead letter (sync.go:54-67) = status 'missing_route'. The Spark
+# side replays the dedicated field-route log through the FULL engine with
+# route_from_fields=True; output = parse-status distribution UNION final
+# lake state per derived route.
+
+_FRAW = "read_parquet('{dir}/*.parquet')"
+
+_F_APP = f"""CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.app_name')
+         WHEN json_type({_AFTER}, '$.app_name') IS NOT NULL
+              THEN json_extract_string({_AFTER}, '$.app_name')
+         ELSE json_extract_string({_DOC}, '$.app_name') END"""
+_F_COLL = f"""CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.collection')
+         WHEN json_type({_AFTER}, '$.collection') IS NOT NULL
+              THEN json_extract_string({_AFTER}, '$.collection')
+         ELSE json_extract_string({_DOC}, '$.collection') END"""
+
+_F_KEY = """CASE WHEN {op} = 'd' THEN json_extract_string({before}, '$.{k}')
+         ELSE COALESCE(json_extract_string({doc}, '$.{k}'),
+                       json_extract_string({after}, '$.{k}')) END"""
+
+
+def _fkey(k: str) -> str:
+    return _F_KEY.format(op=_OP, before=_BEFORE, doc=_DOC, after=_AFTER, k=k)
+
+
+def cdc_engine_field_routes(spark, sf_dir):
+    from ..flagship import fieldroute_lake
+    from ..parse import parse_envelopes
+    from ..pylog import ensure_fieldroute_log
+    from ..sources import file_batch
+
+    log_dir = ensure_fieldroute_log()
+    parsed = parse_envelopes(file_batch(spark, log_dir), route_from_fields=True)
+    statuses = (
+        parsed.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("status").alias("kind"), F.col("status").alias("name"), "n")
+    )
+    finals = (
+        fieldroute_lake(spark)
+        .read()
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("route").alias("kind"), F.col("route").alias("name"), "n")
+    )
+    return statuses.unionByName(finals)
+
+
+def _fieldroute_sql() -> str:
+    from ..pylog import FIELDROUTE_DIR
+
+    raw = _FRAW.format(dir=FIELDROUTE_DIR)
+    return f"""
+WITH raw AS (
+  SELECT * FROM {raw}
+), cls AS (
+  SELECT *,
+    CASE
+      WHEN {_IS_TOMBSTONE} THEN 'tombstone'
+      WHEN {_IS_MALFORMED} THEN 'malformed'
+      WHEN {_OP} NOT IN ('c','r','u','d') THEN 'unknown_op'
+      WHEN {_BAD_PAYLOAD} THEN 'bad_payload'
+      WHEN ({_fkey('repo')}) IS NULL OR ({_fkey('repo')}) = ''
+        OR ({_fkey('path')}) IS NULL OR ({_fkey('path')}) = '' THEN 'missing_key'
+      WHEN ({_F_APP}) IS NULL OR ({_F_APP}) = ''
+        OR ({_F_COLL}) IS NULL OR ({_F_COLL}) = '' THEN 'missing_route'
+      ELSE 'ok' END AS status
+  FROM raw
+), statuses AS (
+  SELECT 'status' AS kind, status AS name, count(*) AS n FROM cls GROUP BY status
+), keyed AS (
+  SELECT
+    {_fkey('repo')} AS repo,
+    {_fkey('path')} AS path,
+    ({_F_APP}) || '_' || ({_F_COLL}) AS route,
+    COALESCE(TRY_CAST(json_extract({_J}, '$.payload.source.lsn') AS BIGINT), 0) AS lsn,
+    COALESCE(TRY_CAST(json_extract_string({_J}, '$.payload.transaction.id') AS BIGINT),
+             TRY_CAST(json_extract({_J}, '$.payload.source.txId') AS BIGINT), 0) AS tx,
+    COALESCE(TRY_CAST(json_extract({_J}, '$.payload.source.ts_ms') AS BIGINT), 0) AS ts,
+    "offset",
+    ({_OP} = 'd'
+     OR lower(COALESCE(
+          CASE WHEN json_type({_AFTER}, '$.is_delete') IS NOT NULL
+               THEN COALESCE(json_extract_string({_AFTER}, '$.is_delete'), 'false')
+               ELSE json_extract_string({_DOC}, '$.is_delete') END,
+          'false')) IN ('true', '1')) AS is_del
+  FROM cls WHERE status = 'ok'
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path
+      ORDER BY lsn DESC, tx DESC, ts DESC, "offset" DESC) AS rn
+  FROM keyed
+), routes AS (
+  SELECT 'route' AS kind, route AS name, count(*) AS n
+  FROM ranked WHERE rn = 1 AND NOT is_del GROUP BY route
+)
+SELECT * FROM statuses UNION ALL SELECT * FROM routes
+"""
+
+
 def _oracle_ready(sql: str) -> str:
     """Materialize the log before handing the SQL to the driver's DuckDB.
     Best-effort at import time: a failure here must degrade to this
@@ -247,6 +354,16 @@ def _oracle_ready(sql: str) -> str:
     except OSError:
         pass
     return sql
+
+
+def _fieldroute_oracle() -> str:
+    from ..pylog import ensure_fieldroute_log
+
+    try:
+        ensure_fieldroute_log()
+    except OSError:
+        pass
+    return _fieldroute_sql()
 
 
 QUERIES = {
@@ -263,5 +380,9 @@ QUERIES = {
     "cdc_engine_dead_letters": (
         cdc_engine_dead_letters,
         _oracle_ready(SQL_ENGINE_DEAD_LETTERS),
+    ),
+    "cdc_engine_field_routes": (
+        cdc_engine_field_routes,
+        _fieldroute_oracle(),
     ),
 }

@@ -35,29 +35,32 @@ SQL_Q2 = "SELECT doc_id, n_chars FROM documents WHERE source = 'src0'"
 
 # Q3: set membership over a scalar and over an array field
 def q3_set_membership(spark, sf_dir):
+    """Set membership, BOTH shapes in one driver row: scalar IN over a
+    value set (lineitem) and array_contains over an array column
+    (documents) — Meilisearch's `IN` filter and array-field filter."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    scalar = (
         li.filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("flag_"), F.col("l_returnflag")).alias("pred"), "n"
+        )
     )
+    docs = _t(spark, sf_dir, "documents")
+    arr = docs.filter(
+        F.array_contains(F.split(F.col("text"), " "), "vector")
+    ).agg(
+        F.lit("array_vector").alias("pred"), F.count(F.lit(1)).alias("n")
+    )
+    return scalar.unionByName(arr)
 
 
 SQL_Q3 = """
-SELECT l_returnflag, count(*) AS n FROM lineitem
+SELECT 'flag_' || l_returnflag AS pred, count(*) AS n FROM lineitem
 WHERE l_returnflag IN ('A', 'R') GROUP BY 1
-"""
-
-
-def q3b_array_contains(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.filter(
-        F.array_contains(F.split(F.col("text"), " "), "vector")
-    ).select("doc_id")
-
-
-SQL_Q3B = """
-SELECT doc_id FROM documents
+UNION ALL
+SELECT 'array_vector' AS pred, count(*) AS n FROM documents
 WHERE list_contains(string_split(text, ' '), 'vector')
 """
 
@@ -439,7 +442,6 @@ QUERIES = {
     "q1_fulltext_search": (q1_fulltext_search, SQL_Q1),
     "q2_equality_filter": (q2_equality_filter, SQL_Q2),
     "q3_set_membership": (q3_set_membership, SQL_Q3),
-    "q3b_array_contains": (q3b_array_contains, SQL_Q3B),
     "q4_range_filter": (q4_range_filter, SQL_Q4),
     "q5_conjunctive": (q5_conjunctive, SQL_Q5),
     "q6_disjunctive": (q6_disjunctive, SQL_Q6),

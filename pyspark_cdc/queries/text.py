@@ -21,32 +21,13 @@ def _toks():
     return F.split(F.col("text"), " ")
 
 
-# --- token counting ----------------------------------------------------------
-
-
-def text_token_count(spark, sf_dir):
-    bpe = F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(_toks()).alias("n_ws_tokens"),
-        bpe.alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    )
-
-
-SQL_TOKEN_COUNT = """
-SELECT doc_id,
-       len(string_split(text, ' ')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-       length(text) AS n_chars_actual
-FROM documents
-"""
-
-
-# --- quality scoring ---------------------------------------------------------
+# --- token counting + quality scoring (one driver row, both operators) ------
 
 
 def text_quality_score(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) AND quality scoring
+    (stopword ratio, avg token length, char length) in one row — the two
+    operators share the tokenization and a row per document."""
     toks = _toks()
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -54,9 +35,12 @@ def text_quality_score(spark, sf_dir):
     avg_tok_len = F.round(
         (F.length("text") - (n_tok - 1)).cast("double") / n_tok, 4
     )
+    bpe = F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stop_ratio"),
         avg_tok_len.alias("avg_token_len"),
@@ -66,6 +50,8 @@ def text_quality_score(spark, sf_dir):
 SQL_QUALITY = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       length(text) AS n_chars,
        len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stopwords,
        round(CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
              / len(string_split(text, ' ')), 4) AS stop_ratio,
@@ -120,7 +106,6 @@ FROM documents GROUP BY 1
 
 
 QUERIES = {
-    "text_token_count": (text_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (text_quality_score, SQL_QUALITY),
     "text_langid": (text_langid, SQL_LANGID),
     "text_fingerprint": (text_fingerprint, SQL_FINGERPRINT),

@@ -603,7 +603,7 @@ class ParquetLake:
         status_counts = [
             F.count_if(F.col("status") == s).alias(f"n_{s}")
             for s in ("ok", "tombstone", "malformed", "unknown_op",
-                      "bad_payload", "missing_key")
+                      "bad_payload", "missing_key", "missing_route")
         ]
         src = parsed.observe(
             obs,

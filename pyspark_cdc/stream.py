@@ -33,6 +33,7 @@ def process_batch(
     lake: ParquetLake,
     metrics: MetricsWriter | None = None,
     lww_method: str = "fused",
+    route_from_fields: bool = False,
 ) -> dict:
     """parse -> LWW -> MERGE for one micro-batch; lineage written per batch.
 
@@ -64,7 +65,7 @@ def process_batch(
     want_lineage = bool(metrics and metrics.metrics_dir)
 
     if lake.mode == "mor" and lww_method == "fused":
-        parsed = parse_envelopes(batch_df)
+        parsed = parse_envelopes(batch_df, route_from_fields=route_from_fields)
         with Stopwatch() as sw:
             stats = lake.merge_parsed(parsed, batch_id)
         if want_lineage:
@@ -77,7 +78,9 @@ def process_batch(
                 metrics.write_empty_row(batch_id, stats["status"], wall_ms=sw.wall_ms)
         return stats
 
-    parsed = parse_envelopes(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
+    parsed = parse_envelopes(
+        batch_df, route_from_fields=route_from_fields
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # Lineage rides along in the merge's summary job (side_summary) and
         # is written driver-side afterwards — a micro-batch costs exactly
@@ -111,10 +114,14 @@ def replay_batch(
     metrics_dir: str | None = None,
     batch_id=0,
     lww_method: str = "fused",
+    route_from_fields: bool = False,
 ) -> dict:
     """One-shot batch replay of a whole event log (bench + tests)."""
     raw = file_batch(spark, log_dir)
-    return process_batch(raw, batch_id, lake, MetricsWriter(metrics_dir), lww_method)
+    return process_batch(
+        raw, batch_id, lake, MetricsWriter(metrics_dir), lww_method,
+        route_from_fields=route_from_fields,
+    )
 
 
 def run_stream(

@@ -215,3 +215,73 @@ def test_edge_case_log_statuses(spark):
     assert counts["unknown_op"] == 1
     assert counts["bad_payload"] == 1
     assert counts["missing_key"] == 1
+
+
+# --- route_from_fields: the reference's ResolveIndex routing ----------------
+
+
+def _parse_fr(spark, value, offset=0):
+    df = spark.createDataFrame(
+        [{"key": None, "value": value, "topic": "t", "partition": 0,
+          "offset": offset}],
+        schema=KAFKA_SHAPE,
+    )
+    return parse_envelopes(df, route_from_fields=True).collect()[0]
+
+
+def _doc(**extra):
+    d = {"repo": "r", "path": "p", "commit": "c", "lang": "py", "content": "v"}
+    d.update(extra)
+    return d
+
+
+def test_field_route_from_flat_fields(spark):
+    r = _parse_fr(spark, _env("u", _doc(app_name="shop", collection="users")))
+    assert r["status"] == "ok" and r["route"] == "shop_users"
+    # the consumed fields are NOT extras (the reference deletes them from
+    # the doc before indexing, sync.go:78-81)
+    assert "app_name" not in (r["extras"] or {})
+    assert "collection" not in (r["extras"] or {})
+
+
+def test_field_route_missing_collection_is_dead_letter(spark):
+    r = _parse_fr(spark, _env("u", _doc(app_name="shop")))
+    assert r["status"] == "missing_route"
+    r = _parse_fr(spark, _env("u", _doc(app_name="", collection="users")))
+    assert r["status"] == "missing_route"
+
+
+def test_field_route_delete_uses_before(spark):
+    r = _parse_fr(spark, _env(
+        "d", before={"repo": "r", "path": "p", "app_name": "crm",
+                     "collection": "pages"}))
+    assert r["status"] == "ok" and r["route"] == "crm_pages"
+    r = _parse_fr(spark, _env("d", before={"repo": "r", "path": "p"}))
+    assert r["status"] == "missing_route"
+
+
+def test_field_route_flat_overrides_inner(spark):
+    inner = json.dumps(_doc(app_name="decoy", collection="decoy"))
+    r = _parse_fr(spark, _env("u", {
+        "repo": "r", "path": "p", "payload": inner,
+        "app_name": "shop", "collection": "users",
+    }))
+    assert r["status"] == "ok" and r["route"] == "shop_users"
+
+
+def test_field_route_inner_payload_fields(spark):
+    inner = json.dumps(_doc(app_name="wiki", collection="pages"))
+    r = _parse_fr(spark, _env("u", {"repo": "r", "path": "p", "payload": inner}))
+    assert r["status"] == "ok" and r["route"] == "wiki_pages"
+
+
+def test_field_route_missing_key_takes_priority(spark):
+    # no repo/path anywhere -> missing_key, NOT missing_route
+    r = _parse_fr(spark, _env("u", {"app_name": "shop"}))
+    assert r["status"] == "missing_key"
+
+
+def test_field_route_default_mode_unchanged(spark):
+    r = _parse_one(spark, _env("u", _doc(app_name="shop", collection="users")))
+    assert r["status"] == "ok" and r["route"] == "t"  # topic-as-route
+    assert (r["extras"] or {}).get("app_name") == "shop"  # stays an extra
