@@ -66,7 +66,8 @@ BUCKET_COL = "__bucket"
 # as a sink PARTITION column; functionally determined by the key's repo
 # (one route per source table/topic), so carrying it as a value through
 # the key-wise MERGE is equivalent to keying by it. The physical layout
-# is bucket/route (base) and status/route (parsed deltas), so a
+# is bucket/route (base) and status-only (parsed deltas; route stays a
+# data column there and manifests record each delta's route list), so a
 # tenant-scoped read prunes whole route directories — the analog of the
 # reference's per-tenant Meilisearch index (handler.go:34-44): a
 # `WHERE route = X` query must not scan other tenants' data. Route is
@@ -551,7 +552,8 @@ class ParquetLake:
             "minor_count": meta.get("minor_count", 0),
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "flat",
-                "routes": self._listed_routes(out_dir)}],
+                "routes": self._listed_routes(out_dir),
+                "bytes": self._tree_bytes(out_dir)}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
         }
@@ -609,17 +611,28 @@ class ParquetLake:
             obs,
             F.count(F.lit(1)).alias("n_records"),
             F.collect_set(F.map_keys("extras")).alias("extras_keysets"),
+            # merge-relevant routes for manifest-level tenant pruning,
+            # collected during the write (no post-write directory walk)
+            F.collect_set(
+                F.when(F.col("status") == "ok", F.col(ROUTE_COL))
+            ).alias("ok_routes"),
             *status_counts,
         )
 
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         t0 = _time.monotonic()
-        # status/route partitioning: the dead-letter statuses stay cheap to
-        # scan AND a tenant-pruned read skips other tenants' delta files
-        # (route is low-cardinality, so the per-delta file fan-out stays
-        # O(source tasks x statuses x routes-touched-in-batch)).
-        src.write.partitionBy("status", ROUTE_COL).mode("overwrite").parquet(out_dir)
+        # status-ONLY partitioning: the dead-letter statuses stay cheap to
+        # scan, route stays a DATA column. Route dirs here (round 3's
+        # status/route layout) multiplied the leaf-dir/file fan-out per
+        # delta by the routes touched and cost the flagship ingest ~16%;
+        # tenant pruning does not need them — the manifest's per-delta
+        # route list (from the Observation above) skips whole deltas, and
+        # only the long-lived BASE keeps route partition dirs for
+        # PartitionFilters. Delta backlogs are small by construction
+        # (compact_every bounds them), so a tenant read scanning a pruned
+        # delta's ok-files is O(backlog), not O(table).
+        src.write.partitionBy("status").mode("overwrite").parquet(out_dir)
         got = obs.get
         stats = {
             "status": "committed",
@@ -654,7 +667,12 @@ class ParquetLake:
             "minor_count": meta.get("minor_count", 0),
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "parsed",
-                "routes": self._listed_routes(out_dir)}],
+                "routes": sorted(got["ok_routes"] or []),
+                # ok-partition bytes recorded at commit (one bounded walk
+                # of the just-written files) so read()'s broadcast-vs-
+                # aggregate switch never re-walks the tree and never
+                # counts dead-letter bytes
+                "bytes": self._tree_bytes(os.path.join(out_dir, "status=ok"))}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
         }
@@ -675,8 +693,10 @@ class ParquetLake:
         ok rows, turn effective_op into the tombstone flag, flatten extras
         via the manifest's column list (complete — every delta recorded
         its observed keys at commit), and null the payload of deleted rows
-        exactly like the flat write path. A route predicate lands on the
-        status/route partition layout, pruning other tenants' files."""
+        exactly like the flat write path. A route predicate here is a DATA
+        filter over an already manifest-pruned, compact_every-bounded
+        backlog (the status partition dirs still prune dead letters);
+        only the BASE carries route partition dirs."""
         df = self.spark.read.parquet(dp).filter(F.col("status") == "ok")
         if route is not None:
             df = df.filter(F.col(ROUTE_COL) == route)
@@ -751,7 +771,8 @@ class ParquetLake:
         )
         folded = (
             [{"path": data_rel, "format": "flat", "merged": True,
-              "routes": self._listed_routes(out_dir)}]
+              "routes": self._listed_routes(out_dir),
+              "bytes": self._tree_bytes(out_dir)}]
             if wrote_rows
             else []
         )
@@ -967,18 +988,32 @@ class ParquetLake:
             return base
         return base.unionByName(delta, allowMissingColumns=True)
 
+    @staticmethod
+    def _tree_bytes(path: str) -> int:
+        """Total file bytes under a path (driver-side walk, bounded to the
+        files just written by the calling commit)."""
+        total = 0
+        for cur, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(cur, f))
+                except OSError:
+                    pass
+        return total
+
     def _delta_bytes(self, meta: dict) -> int:
-        """On-disk parquet bytes of all outstanding deltas (driver-side
-        listing; O(delta files))."""
+        """Merge-relevant bytes of all outstanding deltas. Commits record
+        each delta's byte count in its manifest entry (ok-partition only
+        for parsed deltas — dead letters never merge), so the steady-state
+        read sums a handful of manifest integers; a walk happens only for
+        legacy entries without the field."""
         total = 0
         for d in meta.get("deltas", []):
+            if isinstance(d, dict) and "bytes" in d:
+                total += d["bytes"]
+                continue
             p = os.path.join(self.table_dir, d["path"] if isinstance(d, dict) else d)
-            for cur, _dirs, files in os.walk(p):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(cur, f))
-                    except OSError:
-                        pass
+            total += self._tree_bytes(p)
         return total
 
     def _merge_read_broadcast(self, base: DataFrame, delta: DataFrame) -> DataFrame:
