@@ -20,11 +20,14 @@ stream would see them. This operator suppresses them with keyed state:
   already deleted emits nothing (DeleteDocument on a missing id is a
   no-op, sync.go:108-113), and a revive after delete emits as an upsert.
 
-State size: O(live keys) x ~40 bytes. A production deployment bounds it
-with a timeout tied to the source's replay horizon (state older than the
-horizon can never be contradicted, so it can expire exactly like lake
-tombstones — GroupStateTimeout.ProcessingTimeTimeout); the operator
-keeps NoTimeout here because the sandbox logs are finite.
+State size: O(live keys) x ~40 bytes. `state_ttl_ms` bounds it with a
+ProcessingTimeTimeout tied to the source's replay horizon: state idle
+longer than the horizon can never be contradicted (nothing older can be
+replayed), so it expires exactly like lake tombstones past
+tombstone_horizon_lsn. Expiry is SAFE, not lossy — if a duplicate of an
+expired key does arrive, the feed re-emits it (at-least-once on the
+horizon boundary, never wrong data). Default None = NoTimeout, right for
+finite replay logs.
 
 Vectorization note: this is exactly the case the brief reserves for
 `applyInPandasWithState` — per-key stateful logic the built-in operators
@@ -72,9 +75,17 @@ STATE_SCHEMA = T.StructType(
 
 
 def _advance(
-    key: Tuple[Any, ...], pdfs: Iterable, state: GroupState
+    key: Tuple[Any, ...], pdfs: Iterable, state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator:
     import pandas as pd
+
+    if state.hasTimedOut:
+        # horizon passed with no new data for this key: nothing older can
+        # arrive to contradict it, so the state is droppable; if a
+        # duplicate DOES arrive later it re-emits (safe re-emission)
+        state.remove()
+        return
 
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
@@ -90,6 +101,8 @@ def _advance(
     deleted = w["effective_op"] == "d"
     was_deleted = prev is None or bool(prev[4])
     state.update((*ordw, bool(deleted)))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     if deleted and was_deleted:
         # delete of an absent/already-deleted key: net no-op
         # (sync.go:108-113); state still advances so an even-later stale
@@ -113,16 +126,26 @@ def _advance(
     )
 
 
-def change_feed(parsed: DataFrame) -> DataFrame:
+def change_feed(parsed: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """parsed change stream (streaming DataFrame) -> net-effect feed.
-    Append output mode; one row per key per micro-batch at most."""
+    Append output mode; one row per key per micro-batch at most.
+
+    state_ttl_ms: per-key state expiry tied to the source's replay
+    horizon (see module docstring). None = keep state forever."""
     ok = parsed.filter(F.col("status") == "ok").select(
         *KEY_COLS, "effective_op", "commit", "lang", "content", *ORD_COLS
     )
+    if state_ttl_ms is None:
+        fn, timeout = _advance, GroupStateTimeout.NoTimeout
+    else:
+        def fn(key, pdfs, state):  # cloudpickle'd closure over the ttl
+            return _advance(key, pdfs, state, ttl_ms=state_ttl_ms)
+
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return ok.groupBy(*KEY_COLS).applyInPandasWithState(
-        _advance,
+        fn,
         FEED_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )

@@ -47,12 +47,23 @@ def _coerce_str(v: Any) -> str | None:
     return str(v)
 
 
-def _ord_int(v: Any) -> int | None:
-    """Numeric coercion of an ordering field, mirroring Spark's
-    string->long cast (None / non-numeric -> None, so callers can fall
-    back)."""
+def _ord_int(v: Any, from_string: bool = False) -> int | None:
+    """Numeric coercion of an ordering field, mirroring the engine's
+    from_json typing EXACTLY. from_string=False mirrors a LongType schema
+    field (source.lsn / source.ts_ms / source.txId): a JSON string value
+    — even a numeric-looking "123" — parses to null there, so it must
+    coerce to None here too. from_string=True mirrors the
+    transaction.id path (parsed as StringType, then cast('long')), where
+    numeric text DOES coerce."""
     if v is None or isinstance(v, bool):
         return None
+    if isinstance(v, str):
+        if not from_string:
+            return None
+        try:
+            return int(v)
+        except ValueError:
+            return None
     try:
         return int(v)
     except (TypeError, ValueError):
@@ -152,7 +163,7 @@ def replay(events: list[dict]) -> dict:
         lsn = _ord_int(src.get("lsn")) or 0
         # transaction.id is a string in real Debezium output ("571");
         # numeric source.txId is the fallback — mirrors parse.py
-        tx_id = _ord_int(tx.get("id"))
+        tx_id = _ord_int(tx.get("id"), from_string=True)
         if tx_id is None:
             tx_id = _ord_int(src.get("txId"))
         parsed.append(

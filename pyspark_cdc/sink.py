@@ -399,8 +399,11 @@ class ParquetLake:
         # down to <= n_buckets * n_keys rows before the collect). An optional
         # caller aggregate (lineage) is unioned in so it shares the job.
         summary_df = (
-            src.select(BUCKET_COL, F.explode_outer(F.map_keys("extras")).alias("_k"))
-            .groupBy(BUCKET_COL, "_k")
+            src.select(
+                BUCKET_COL, F.col(ROUTE_COL),
+                F.explode_outer(F.map_keys("extras")).alias("_k"),
+            )
+            .groupBy(BUCKET_COL, ROUTE_COL, "_k")
             .agg(F.count(F.lit(1)).alias("_n"))
             .withColumn("_side", F.lit("merge"))
         )
@@ -414,6 +417,7 @@ class ParquetLake:
         side_rows = [r for r in rows if r["_side"] == "side"]
         t_summary = _time.monotonic() - t0
         touched = sorted({r[BUCKET_COL] for r in summary})
+        batch_pairs = {(r[BUCKET_COL], r[ROUTE_COL]) for r in summary}
         observed_keys = sorted({r["_k"] for r in summary if r["_k"] is not None})
         if not touched:
             new_meta = dict(self._with_batch(meta, batch_id),
@@ -457,14 +461,19 @@ class ParquetLake:
             "side_rows": side_rows,
         }
         if self.mode == "mor":
-            new_meta = self._merge_mor(src_flat, touched, extra_cols, meta, batch_id, stats)
+            new_meta = self._merge_mor(
+                src_flat, touched, batch_pairs, extra_cols, meta, batch_id, stats
+            )
         else:
-            new_meta = self._merge_cow(src_flat, touched, extra_cols, meta, batch_id, stats)
+            new_meta = self._merge_cow(
+                src_flat, touched, batch_pairs, extra_cols, meta, batch_id, stats
+            )
         stats["snapshot"] = new_meta["id"]
         return stats
 
     def _merge_cow(
-        self, src_flat: DataFrame, touched, extra_cols, meta: dict, batch_id, stats: dict
+        self, src_flat: DataFrame, touched, batch_pairs, extra_cols,
+        meta: dict, batch_id, stats: dict,
     ) -> dict:
         """Union touched base buckets with the batch, resolve LWW, rewrite
         those buckets."""
@@ -484,12 +493,18 @@ class ParquetLake:
         # Re-hash on (bucket, route) before the dynamic-partition write:
         # AQE coalesces the post-agg exchange to a few fat partitions, and
         # without this each writer task would fan out to ~all leaf dirs
-        # (few tasks x many open files). One task per touched (bucket,
-        # route) leaf = full write parallelism and exactly one file per
-        # leaf.
+        # (few tasks x many open files). Sized to the (bucket, route) LEAF
+        # count — the batch's pairs plus the touched buckets' existing
+        # routes from the manifest (the rewrite re-emits those rows too) —
+        # so hashing gives ~one task per leaf and writers don't idle on
+        # collisions.
+        bucket_routes = meta.get("bucket_routes", {})
+        leaves = set(batch_pairs) | {
+            (b, r) for b in touched for r in bucket_routes.get(str(b), [])
+        }
         t0 = _time.monotonic()
         merged.repartition(
-            max(len(touched), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
+            max(len(leaves), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
 
@@ -526,7 +541,8 @@ class ParquetLake:
         return new_meta
 
     def _merge_mor(
-        self, src_flat: DataFrame, touched, extra_cols, meta: dict, batch_id, stats: dict
+        self, src_flat: DataFrame, touched, batch_pairs, extra_cols,
+        meta: dict, batch_id, stats: dict,
     ) -> dict:
         """Append the batch as bucket-partitioned delta files — O(batch),
         no table read, no sort. LWW resolves at read/compaction; compaction
@@ -537,8 +553,9 @@ class ParquetLake:
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         t0 = _time.monotonic()
+        # one task per (bucket, route) leaf the batch actually touches
         src_flat.repartition(
-            max(len(touched), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
+            max(len(batch_pairs), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
 
@@ -1026,8 +1043,24 @@ class ParquetLake:
         (one row per key), so resolving a key needs only that key's base
         row and its delta rows. Costs a second broadcast-join scan of the
         base (the semi side) — two shuffle-free scans beat one full-table
-        shuffle at any scale where the base dominates."""
-        dk = delta.select(*KEY_COLS).distinct()
+        shuffle at any scale where the base dominates.
+
+        INVARIANT: merge keys are non-null on BOTH sides — parse
+        dead-letters missing-key records ('missing_key' status) before any
+        merge, and every base/delta writer consumes only status='ok' rows.
+        This matters because left_anti/left_semi never match NULL keys: a
+        null-key base row would survive AND its delta version would win,
+        duplicating the key, where the groupBy of the aggregate path (and
+        of resolve_lww itself) treats nulls as one group. The guard below
+        makes the strategies interchangeable even if a future writer
+        violates the invariant: delta rows with any null key fold into the
+        winners aggregate against nothing (exactly what the global
+        aggregate would do with no null-key base rows to meet them)."""
+        null_key = None
+        for k in KEY_COLS:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        dk = delta.filter(~null_key).select(*KEY_COLS).distinct()
         survivors = base.join(F.broadcast(dk), KEY_COLS, "left_anti")
         overlap = base.join(F.broadcast(dk), KEY_COLS, "left_semi")
         winners = resolve_lww(overlap.unionByName(delta, allowMissingColumns=True))

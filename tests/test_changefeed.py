@@ -113,3 +113,54 @@ def test_change_feed_suppresses_duplicates_and_stale(spark, tmp_path):
     # k3 (create+delete in one batch), k4 (delete of absent), the k1
     # duplicate, and both stale k1/k2 replays emitted NOTHING — 5 net
     # changes from 11 input events, with state carried across 4 batches
+
+
+def test_change_feed_state_ttl_expires_and_reemits(spark, tmp_path):
+    """state_ttl_ms (ProcessingTimeTimeout tied to the replay horizon):
+    a key idle past the TTL has its state dropped on the next batch, so a
+    later duplicate RE-EMITS (safe at-least-once on the horizon boundary)
+    instead of being suppressed — state loss is re-emission, never wrong
+    data."""
+    log_dir = str(tmp_path / "log")
+    t0 = time.time() - 100
+
+    # batch 0: k1 and k2 created (both emit)
+    _write_batch(log_dir, 0, [
+        (_env("c", _row("r", "k1", 1), lsn=1), 1),
+        (_env("c", _row("r", "k2", 2), lsn=2), 2),
+    ], t0)
+    # batch 1: only k2 has data => k1's expired timer fires here and its
+    # state is REMOVED (a group gets the timed-out call only in a batch
+    # where it has no data)
+    _write_batch(log_dir, 1, [
+        (_env("u", _row("r", "k2", 3), lsn=3), 3),
+    ], t0 + 10)
+    # batch 2: duplicate of k1 v1 — with NoTimeout this is suppressed
+    # (test above); with an expired TTL it re-emits
+    _write_batch(log_dir, 2, [
+        (_env("c", _row("r", "k1", 1), lsn=1), 1),
+    ], t0 + 20)
+
+    feed = change_feed(
+        parse_envelopes(file_stream(spark, log_dir, max_files_per_trigger=1)),
+        state_ttl_ms=1,  # every inter-batch gap exceeds 1ms
+    )
+    q = (
+        feed.writeStream.format("memory").queryName("ttl_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        ((r["repo"], r["path"]), r["change"], r["__lsn"])
+        for r in spark.sql("SELECT * FROM ttl_feed").collect()
+    )
+    assert rows == [
+        (("r", "k1"), "upsert", 1),
+        (("r", "k1"), "upsert", 1),  # re-emitted after expiry
+        (("r", "k2"), "upsert", 2),
+        (("r", "k2"), "upsert", 3),
+    ]

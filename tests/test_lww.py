@@ -119,3 +119,42 @@ def test_fused_merge_equals_explicit_lww_paths(spark, tmp_path):
         }
     assert states["fused"] == states["aggregate"] == states["window"]
     assert states["fused"][("r", "p3")][0] is not None
+
+
+def test_stringified_numeric_lsn_matches_engine(spark):
+    """Oracle/engine agreement on exotic typing: a STRING-typed numeric
+    lsn ("123") parses to null->0 in the engine's LongType from_json
+    field, and the oracle must order it the same way (ADVICE round 3) —
+    while a string transaction.id ("571") coerces in BOTH (the engine
+    parses it as text and casts)."""
+    import json as _json
+
+    from pyspark_cdc.oracle import replay
+    from pyspark_cdc.parse import parse_envelopes
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+
+    def env(lsn, tx, content, string_lsn=False):
+        return _json.dumps({"payload": {
+            "op": "u",
+            "source": {"lsn": str(lsn) if string_lsn else lsn, "ts_ms": 1},
+            "transaction": {"id": str(tx)},
+            "after": {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+                      "content": content},
+        }})
+
+    recs = [
+        # string lsn "999" must NOT outrank numeric lsn 5
+        {"key": None, "value": env(999, 1, "string-lsn", string_lsn=True),
+         "topic": "t", "partition": 0, "offset": 1},
+        {"key": None, "value": env(5, 2, "numeric-lsn"),
+         "topic": "t", "partition": 0, "offset": 2},
+    ]
+    df = spark.createDataFrame(recs, schema=KAFKA_SHAPE)
+    parsed = parse_envelopes(df).filter("status = 'ok'").collect()
+    by_off = {r["offset"]: r for r in parsed}
+    assert by_off[1]["__lsn"] == 0  # string lsn -> null -> 0 in the engine
+    assert by_off[1]["__tx_id"] == 1  # string transaction.id DOES coerce
+    assert by_off[2]["__lsn"] == 5
+
+    exp = replay(recs)["state"]
+    assert exp[("r", "p")]["content"] == "numeric-lsn"

@@ -88,13 +88,13 @@ def _record(ev, offset):
             "partition": 0, "offset": offset}
 
 
-def _engine_state(spark, tmp_dir, batches):
+def _engine_state(spark, tmp_dir, batches, tombstone_horizon_lsn=None):
     # compact_every=2 + major_every=2 exercises BOTH compaction tiers
     # (major on the first fold, minor on the next) and the broadcast MoR
     # read path under arbitrary event interleavings and batch splits
     lake = ParquetLake(
         spark, tmp_dir, n_buckets=4, mode="mor", compact_every=2,
-        major_every=2,
+        major_every=2, tombstone_horizon_lsn=tombstone_horizon_lsn,
     )
     for i, batch in enumerate(batches):
         df = spark.createDataFrame(batch, schema=KAFKA_SHAPE)
@@ -121,6 +121,54 @@ def test_any_event_sequence_matches_oracle(spark, tmp_path_factory, evs):
     recs = [_record(e, off) for off, e in enumerate(evs)]
     tmp = str(tmp_path_factory.mktemp("prop_lake"))
     got = _engine_state(spark, tmp, [recs])
+    _assert_matches_oracle(got, recs)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events, data=st.data())
+def test_tombstone_horizon_interleavings_match_oracle(
+    spark, tmp_path_factory, evs, data
+):
+    """With tombstone_horizon_lsn set, MAJOR folds expire tombstones older
+    than the horizon while MINOR folds always retain them; hypothesis
+    explores arbitrary op mixes and batch splits across both tiers. The
+    horizon contract requires in-order delivery up to the horizon (nothing
+    older than it may be replayed later), so events are delivered sorted
+    by their ordering tuple — the visible final state must still equal the
+    oracle's, since tombstone expiry may never change what a reader sees."""
+    recs = [_record(e, off) for off, e in enumerate(evs)]
+
+    # in-order delivery: sort by the engine's FULL ordering tuple
+    # (lsn, tx, ts, offset) — a horizon is only contractually safe if no
+    # event with a LOWER tuple than an expired tombstone can arrive later
+    # (same-lsn, lower-tx stragglers included)
+    def ord_of(r):
+        try:
+            p = json.loads(r["value"])["payload"]
+            src = p.get("source") or {}
+            tx = (p.get("transaction") or {}).get("id") or 0
+            return (src.get("lsn") or 0, int(tx), src.get("ts_ms") or 0,
+                    r["offset"])
+        except (ValueError, TypeError, KeyError):
+            return (0, 0, 0, r["offset"])
+
+    recs.sort(key=ord_of)
+    n_splits = data.draw(st.integers(0, min(3, len(recs) - 1)), label="n_splits")
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, max(1, len(recs) - 1)),
+                     min_size=n_splits, max_size=n_splits),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(recs)]:
+        if recs[prev:c]:
+            batches.append(recs[prev:c])
+        prev = c
+    tmp = str(tmp_path_factory.mktemp("prop_lake"))
+    got = _engine_state(spark, tmp, batches, tombstone_horizon_lsn=20)
     _assert_matches_oracle(got, recs)
 
 
