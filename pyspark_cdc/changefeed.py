@@ -27,7 +27,11 @@ replayed), so it expires exactly like lake tombstones past
 tombstone_horizon_lsn. Expiry is SAFE, not lossy — if a duplicate of an
 expired key does arrive, the feed re-emits it (at-least-once on the
 horizon boundary, never wrong data). Default None = NoTimeout, right for
-finite replay logs.
+finite replay logs — and REQUIRED for trigger(availableNow=True) runs:
+with ProcessingTimeTimeout, Spark keeps scheduling "no new data but
+cleaning up state" batches while any timer is registered, so an
+availableNow query never drains (observed on 4.1; use a processing-time
+trigger for TTL'd continuous tails).
 
 Vectorization note: this is exactly the case the brief reserves for
 `applyInPandasWithState` — per-key stateful logic the built-in operators

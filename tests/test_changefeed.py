@@ -117,10 +117,15 @@ def test_change_feed_suppresses_duplicates_and_stale(spark, tmp_path):
 
 def test_change_feed_state_ttl_expires_and_reemits(spark, tmp_path):
     """state_ttl_ms (ProcessingTimeTimeout tied to the replay horizon):
-    a key idle past the TTL has its state dropped on the next batch, so a
-    later duplicate RE-EMITS (safe at-least-once on the horizon boundary)
-    instead of being suppressed — state loss is re-emission, never wrong
-    data."""
+    a key idle past the TTL has its state dropped on a later batch, so a
+    subsequent duplicate RE-EMITS (safe at-least-once on the horizon
+    boundary) instead of being suppressed — state loss is re-emission,
+    never wrong data.
+
+    Runs with a processing-time trigger and an explicit stop: a
+    continuous tail is the TTL's real deployment shape, and availableNow
+    + ProcessingTimeTimeout never drains (Spark keeps scheduling
+    'no new data but cleaning up state' batches while timers exist)."""
     log_dir = str(tmp_path / "log")
     t0 = time.time() - 100
 
@@ -129,9 +134,9 @@ def test_change_feed_state_ttl_expires_and_reemits(spark, tmp_path):
         (_env("c", _row("r", "k1", 1), lsn=1), 1),
         (_env("c", _row("r", "k2", 2), lsn=2), 2),
     ], t0)
-    # batch 1: only k2 has data => k1's expired timer fires here and its
-    # state is REMOVED (a group gets the timed-out call only in a batch
-    # where it has no data)
+    # batch 1: only k2 has data => k1's expired timer fires in a state-
+    # cleanup batch after this one and k1's state is REMOVED (a group
+    # gets the timed-out call only in a batch where it has no data)
     _write_batch(log_dir, 1, [
         (_env("u", _row("r", "k2", 3), lsn=3), 3),
     ], t0 + 10)
@@ -149,18 +154,26 @@ def test_change_feed_state_ttl_expires_and_reemits(spark, tmp_path):
         feed.writeStream.format("memory").queryName("ttl_feed")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+        .trigger(processingTime="1 second")
         .start()
     )
-    q.awaitTermination()
-
-    rows = sorted(
-        ((r["repo"], r["path"]), r["change"], r["__lsn"])
-        for r in spark.sql("SELECT * FROM ttl_feed").collect()
-    )
-    assert rows == [
+    expected = [
         (("r", "k1"), "upsert", 1),
         (("r", "k1"), "upsert", 1),  # re-emitted after expiry
         (("r", "k2"), "upsert", 2),
         (("r", "k2"), "upsert", 3),
     ]
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = sorted(
+                ((r["repo"], r["path"]), r["change"], r["__lsn"])
+                for r in spark.sql("SELECT * FROM ttl_feed").collect()
+            )
+            if rows == expected:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert rows == expected
