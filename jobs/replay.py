@@ -50,6 +50,12 @@ def main(argv=None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int)
     ap.add_argument("--generate", type=int, metavar="N_EVENTS",
                     help="synthesize a deterministic event log first")
+    ap.add_argument("--route-from-fields", action="store_true",
+                    help="derive the route from document fields "
+                         "({app_name}_{collection}, the reference's "
+                         "ResolveIndex, sync.go:176-196) instead of "
+                         "topic-as-route; records missing either field "
+                         "dead-letter as missing_route")
     ap.add_argument("--read-route", metavar="ROUTE",
                     help="after the replay, also report the row count of "
                          "this tenant's route via the PRUNED read path "
@@ -125,7 +131,8 @@ def main(argv=None) -> int:
             # metrics dir never mixes batch_ids from warm-up replays
             mdir = args.metrics_dir if r == args.runs else None
             rt0 = time.monotonic()
-            stats = replay_batch(spark, args.log_dir, run_lake, metrics_dir=mdir)
+            stats = replay_batch(spark, args.log_dir, run_lake, metrics_dir=mdir,
+                                 route_from_fields=args.route_from_fields)
             run_walls.append(round(time.monotonic() - rt0, 3))
         for d in warm_dirs:
             _shutil.rmtree(d, ignore_errors=True)
@@ -148,12 +155,14 @@ def main(argv=None) -> int:
                 raw, lake, checkpoint_dir=args.checkpoint,
                 metrics_dir=args.metrics_dir,
                 available_now=not args.continuous,
+                route_from_fields=args.route_from_fields,
             )
         else:
             q = replay_stream(
                 spark, args.log_dir, lake,
                 checkpoint_dir=args.checkpoint, metrics_dir=args.metrics_dir,
                 max_files_per_trigger=args.max_files_per_trigger,
+                route_from_fields=args.route_from_fields,
             )
         q.awaitTermination()
         stats = {"status": "stream_drained", "batches": len(lake.applied_batch_ids())}

@@ -131,6 +131,7 @@ def run_stream(
     metrics_dir: str | None = None,
     lww_method: str = "fused",
     available_now: bool = True,
+    route_from_fields: bool = False,
 ):
     """Checkpointed streaming ingest over ANY Kafka-shaped source stream
     (file log or real Kafka — the columns are identical, SURVEY.md S1/S2).
@@ -139,7 +140,8 @@ def run_stream(
     metrics = MetricsWriter(metrics_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_batch(batch_df, batch_id, lake, metrics, lww_method)
+        process_batch(batch_df, batch_id, lake, metrics, lww_method,
+                      route_from_fields=route_from_fields)
 
     writer = raw.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -157,9 +159,11 @@ def replay_stream(
     metrics_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     lww_method: str = "fused",
+    route_from_fields: bool = False,
 ):
     """Checkpointed streaming replay of a file log; trigger(availableNow)
     drains the log and stops — restart with the same checkpoint_dir to
     resume."""
     raw = file_stream(spark, log_dir, max_files_per_trigger)
-    return run_stream(raw, lake, checkpoint_dir, metrics_dir, lww_method)
+    return run_stream(raw, lake, checkpoint_dir, metrics_dir, lww_method,
+                      route_from_fields=route_from_fields)
