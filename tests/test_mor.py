@@ -422,3 +422,43 @@ def test_major_compaction_expired_tombstones_only(spark, tmp_path):
                   "content": "v"},
     }}), 1)], schema=KAFKA_SHAPE), 1, mor)
     assert set(_rows(mor)) == {("r1", "b")}
+
+
+def test_manifest_records_routes_and_bytes(spark, tmp_path):
+    """Every delta manifest entry carries its merge-relevant byte count
+    and ok-route list at commit time (ADVICE round 3: read() must sum
+    manifest integers, not re-walk delta trees — and dead-letter bytes
+    must not bias the broadcast-vs-aggregate switch)."""
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    def rec(value, off, topic="t1"):
+        return {"key": None, "value": value, "topic": topic, "partition": 0,
+                "offset": off}
+
+    def upsert(repo, path, lsn, topic):
+        return rec(json.dumps({"payload": {
+            "op": "c", "source": {"lsn": lsn, "ts_ms": lsn},
+            "after": {"repo": repo, "path": path, "commit": f"c{lsn}",
+                      "lang": "py", "content": "x" * 200},
+        }}), lsn, topic)
+
+    mor = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor")
+    batch = [upsert("r0", "a", 1, "t1"), upsert("r1", "b", 2, "t2"),
+             rec('{"payload": {broken', 3)]  # one dead letter
+    process_batch(spark.createDataFrame(batch, schema=KAFKA_SHAPE), 0, mor)
+
+    (delta,) = mor.current_meta()["deltas"]
+    assert delta["routes"] == ["t1", "t2"]  # ok routes only, sorted
+    assert delta["bytes"] > 0
+    # manifest bytes == the ok partition's on-disk bytes, excluding the
+    # dead-letter partition
+    ok_bytes = ParquetLake._tree_bytes(
+        os.path.join(mor.table_dir, delta["path"], "status=ok"))
+    all_bytes = ParquetLake._tree_bytes(
+        os.path.join(mor.table_dir, delta["path"]))
+    assert delta["bytes"] == ok_bytes < all_bytes
+    # and read()'s switch consumes exactly the manifest sum
+    assert mor._delta_bytes(mor.current_meta()) == ok_bytes
