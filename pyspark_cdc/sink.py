@@ -335,19 +335,27 @@ class ParquetLake:
         return df
 
     @staticmethod
-    def _listed_routes(root_dir: str) -> list[str]:
-        """route=R partition dirs under a written root (recursively, so a
-        bucket/route layout reports its routes regardless of nesting
-        order)."""
-        from urllib.parse import unquote
-
-        routes: set[str] = set()
-        for _cur, dirs, _files in os.walk(root_dir):
-            for d in dirs:
-                if d.startswith(f"{ROUTE_COL}="):
-                    # Spark escapes special chars in partition dir names
-                    routes.add(unquote(d.split("=", 1)[1]))
-        return sorted(routes)
+    def _obs_get(obs, out_dir: str, **defaults) -> dict:
+        """Metrics of an Observation riding a dynamic-partition write.
+        Spark quirk (4.1): a partitionBy write that commits ZERO rows
+        reports a schema-less metrics row, and Observation.get's toPyRow
+        conversion throws java.lang.AssertionError. Zero rows written
+        means every count is 0 and every collect_set empty, so return
+        `defaults` — after confirming via ONE os.listdir (exception path
+        only, not a walk) that the written dir really has no partition
+        dirs. Any other failure, or a non-empty dir, re-raises."""
+        try:
+            return obs.get
+        except Exception as e:
+            if "toPyRow" not in str(e):
+                raise
+            try:
+                entries = os.listdir(out_dir)
+            except OSError:
+                entries = []
+            if any("=" in d for d in entries):
+                raise  # rows WERE written; the failure is something else
+            return defaults
 
     def merge(
         self,
@@ -502,25 +510,46 @@ class ParquetLake:
         leaves = set(batch_pairs) | {
             (b, r) for b in touched for r in bucket_routes.get(str(b), [])
         }
+
+        # The rewritten buckets and their route lists ride the rewrite's
+        # own job (Observation): the distinct (bucket, route) pair set is
+        # O(touched x routes) — tiny — where the previous post-write
+        # os.listdir + per-bucket walk was O(rewritten files) on the
+        # driver.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge_cow_{batch_id}")
+        merged = merged.observe(
+            obs,
+            F.collect_set(
+                F.struct(
+                    F.col(BUCKET_COL).cast("string").alias("b"),
+                    F.col(ROUTE_COL).alias("r"),
+                )
+            ).alias("pairs"),
+        )
+
         t0 = _time.monotonic()
         merged.repartition(
             max(len(leaves), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
+        pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
 
         new_buckets = dict(meta["buckets"])
         bucket_routes = dict(meta.get("bucket_routes", {}))
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out_dir)
-            if d.startswith(f"{BUCKET_COL}=")
-        }
+        written = {int(p["b"]) for p in pairs}
+        routes_by_bucket: dict[str, set] = {}
+        for p in pairs:
+            if p["r"] is not None:
+                routes_by_bucket.setdefault(p["b"], set()).add(p["r"])
         for b in touched:
             if b in written:
-                rel = os.path.join(data_rel, f"{BUCKET_COL}={b}")
-                new_buckets[str(b)] = rel
-                bucket_routes[str(b)] = self._listed_routes(
-                    os.path.join(self.table_dir, rel)
+                new_buckets[str(b)] = os.path.join(
+                    data_rel, f"{BUCKET_COL}={b}"
+                )
+                bucket_routes[str(b)] = sorted(
+                    routes_by_bucket.get(str(b), set())
                 )
             else:
                 new_buckets.pop(str(b), None)
@@ -550,8 +579,18 @@ class ParquetLake:
         `compact_every` batches to bound read amplification."""
         import time as _time
 
+        from pyspark.sql import Observation
+
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
+
+        # Route list for manifest-level tenant pruning rides the delta
+        # write itself (no post-write directory walk).
+        obs = Observation(f"merge_mor_{batch_id}")
+        src_flat = src_flat.observe(
+            obs, F.collect_set(F.col(ROUTE_COL)).alias("routes")
+        )
+
         t0 = _time.monotonic()
         # one task per (bucket, route) leaf the batch actually touches
         src_flat.repartition(
@@ -569,7 +608,9 @@ class ParquetLake:
             "minor_count": meta.get("minor_count", 0),
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "flat",
-                "routes": self._listed_routes(out_dir),
+                "routes": sorted(
+                    self._obs_get(obs, out_dir, routes=[])["routes"] or []
+                ),
                 "bytes": self._tree_bytes(out_dir)}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
@@ -650,7 +691,13 @@ class ParquetLake:
         # (compact_every bounds them), so a tenant read scanning a pruned
         # delta's ok-files is O(backlog), not O(table).
         src.write.partitionBy("status").mode("overwrite").parquet(out_dir)
-        got = obs.get
+        got = self._obs_get(
+            obs, out_dir,
+            n_records=0, extras_keysets=[], ok_routes=[],
+            **{f"n_{s}": 0 for s in
+               ("ok", "tombstone", "malformed", "unknown_op",
+                "bad_payload", "missing_key", "missing_route")},
+        )
         stats = {
             "status": "committed",
             "batch_id": batch_id,
@@ -766,15 +813,27 @@ class ParquetLake:
         the base) may expire it past the horizon. LWW associativity makes
         the pre-merge exact: max over (base ∪ merged-deltas) equals max
         over (base ∪ raw deltas)."""
+        from pyspark.sql import Observation
+
         extra_cols = list(meta["extra_columns"])
         _, delta = self._read_split(meta, extra_cols)
         merged = resolve_lww(delta.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)))
+
+        # Row count + route list ride the fold's own write job (Observation,
+        # same pattern as merge_parsed) — no post-write directory walk.
+        obs = Observation(f"compact_minor_{meta['id'] + 1}")
+        merged = merged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.collect_set(F.col(ROUTE_COL)).alias("routes"),
+        )
 
         data_rel = os.path.join("data", f"m{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         merged.repartition(
             self.n_buckets, F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
+        got = self._obs_get(obs, out_dir, n_rows=0, routes=[])
 
         # A backlog whose rows are ALL dead letters folds to ZERO ok rows:
         # the write leaves only _SUCCESS (no partition dirs), and
@@ -783,12 +842,10 @@ class ParquetLake:
         # infer a schema). LWW associativity makes dropping the fold exact:
         # max over (base ∪ ∅) == max over base, and dead-letter rows never
         # participate in the merge anyway (any minor fold discards them).
-        wrote_rows = any(
-            d.startswith(f"{BUCKET_COL}=") for d in os.listdir(out_dir)
-        )
+        wrote_rows = got["n_rows"] > 0
         folded = (
             [{"path": data_rel, "format": "flat", "merged": True,
-              "routes": self._listed_routes(out_dir),
+              "routes": sorted(got["routes"] or []),
               "bytes": self._tree_bytes(out_dir)}]
             if wrote_rows
             else []
@@ -815,6 +872,8 @@ class ParquetLake:
         than the source's replay horizon are expired here — nothing older
         than the horizon can be replayed, so the guard is no longer
         needed."""
+        from pyspark.sql import Observation
+
         extra_cols = list(meta["extra_columns"])
         full = self._read_all(meta, extra_cols)
         merged = resolve_lww(full.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)))
@@ -826,17 +885,36 @@ class ParquetLake:
                 )
             )
 
+        # The written bucket set and per-bucket route lists ride the
+        # rewrite's own job (Observation): the distinct (bucket, route)
+        # pair set is O(n_buckets x routes) — tiny — where a directory
+        # walk over the new base would be O(table files) on the driver.
+        obs = Observation(f"compact_major_{meta['id'] + 1}")
+        merged = merged.observe(
+            obs,
+            F.collect_set(
+                F.struct(
+                    F.col(BUCKET_COL).cast("string").alias("b"),
+                    F.col(ROUTE_COL).alias("r"),
+                )
+            ).alias("pairs"),
+        )
+
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         merged.repartition(
             self.n_buckets, F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
+        pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
 
         new_buckets = {
-            d.split("=", 1)[1]: os.path.join(data_rel, d)
-            for d in os.listdir(out_dir)
-            if d.startswith(f"{BUCKET_COL}=")
+            b: os.path.join(data_rel, f"{BUCKET_COL}={b}")
+            for b in sorted({p["b"] for p in pairs})
         }
+        routes_by_bucket: dict[str, set] = {}
+        for p in pairs:
+            if p["r"] is not None:
+                routes_by_bucket.setdefault(p["b"], set()).add(p["r"])
         new_meta = {
             "id": meta["id"] + 1,
             "parent": meta["id"],
@@ -844,8 +922,7 @@ class ParquetLake:
             "extra_columns": extra_cols,
             "buckets": new_buckets,
             "bucket_routes": {
-                b: self._listed_routes(os.path.join(self.table_dir, rel))
-                for b, rel in new_buckets.items()
+                b: sorted(routes_by_bucket.get(b, set())) for b in new_buckets
             },
             "deltas": [],
             **{k: v for k, v in meta.items()
