@@ -259,20 +259,105 @@ N_CENTROIDS = 8  # IVF coarse quantizer size (deterministic seed vectors)
 N_PROBE = 5
 
 
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
-    vectors with vec_id in [N_QUERIES, N_QUERIES+N_CENTROIDS)) partitions
-    the corpus into posting lists by nearest centroid; each query probes
-    its N_PROBE nearest centroids' lists (multi-probe), then exact cosine
-    top-k ranks the candidates. At 100 TB the assignment is one broadcast
-    pass (centroids are tiny) and the probe is an equi-join on centroid
-    id — no all-pairs scan. A production build would k-means the
-    centroids; the deterministic seed choice keeps the DuckDB oracle
-    bit-exact and exercises the identical plan shape."""
-    emb = _emb(spark, sf_dir)
-    cent = emb.filter(
+def _seed_centroids(emb: DataFrame) -> DataFrame:
+    """The deterministic coarse quantizer: centroids = the vectors with
+    vec_id in [N_QUERIES, N_QUERIES+N_CENTROIDS). Seeded (not trained) so
+    the DuckDB oracle can reproduce them bit-exactly."""
+    return emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+
+
+def kmeans_refine_centroids(spark, sf_dir, iters: int = 3) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the seeded IVF centroids,
+    entirely in DataFrame ops. Each iteration: (1) broadcast the k
+    centroids and assign every corpus vector to its nearest by cosine
+    (one narrow pass, no shuffle on the corpus side beyond the window's
+    per-vec_id rank — k rows per vector); (2) posexplode the assigned
+    vectors to (cluster, pos, val) and sum/count per (cluster, pos) —
+    map-side partial aggregation reduces the shuffle to
+    O(k x dim x partitions); (3) collect the k x dim sums (tiny) to the
+    driver, take the mean, L2-normalize (spherical variant: centroids
+    live on the unit sphere, so cosine assignment == dot assignment),
+    and keep the previous centroid for any empty cluster.
+
+    At 100 TB you train on a bounded sample (k-means converges on a
+    sample; the full-corpus pass is only needed for the final posting
+    lists) — the per-iteration cost here is already linear with a k x dim
+    driver footprint. Deterministic up to floating-point summation order
+    (partial sums combine in partition order), which is why the refined
+    quantizer is gated by a recall test rather than a bit-exact SQL
+    oracle: the oracle row keeps the seeded quantizer, same plan shape."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    prev = {
+        int(r["c_id"]): [float(x) for x in r["c_vec"]]
+        for r in _seed_centroids(_emb(spark, sf_dir)).collect()
+    }
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(prev.items())],
+            "c_id int, c_vec array<double>",
+        )
+        scored = emb.join(F.broadcast(cent_df)).select(
+            "vec_id",
+            "embedding",
+            "c_id",
+            _cosine(F.col("embedding"), F.col("c_vec")).alias("c_cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("c_cos").desc(), F.col("c_id").asc()
+        )
+        best = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("c_id", "embedding")
+        )
+        parts = (
+            best.select("c_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            sums.setdefault(r["c_id"], {})[r["pos"]] = r["s"]
+            counts[r["c_id"]] = r["n"]
+        nxt = {}
+        for cid, vec in prev.items():
+            if cid not in counts:  # empty cluster: keep the old centroid
+                nxt[cid] = vec
+                continue
+            mean = [sums[cid][p] / counts[cid] for p in range(len(vec))]
+            norm = sum(x * x for x in mean) ** 0.5
+            nxt[cid] = [x / norm for x in mean] if norm > 0 else vec
+        prev = nxt
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(prev.items())],
+        "c_id int, c_vec array<double>",
+    )
+
+
+def ann_ivf_topk(spark, sf_dir, kmeans_iters: int = 0):
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    posting lists by nearest centroid; each query probes its N_PROBE
+    nearest centroids' lists (multi-probe), then exact cosine top-k ranks
+    the candidates. At 100 TB the assignment is one broadcast pass
+    (centroids are tiny) and the probe is an equi-join on centroid id —
+    no all-pairs scan. Default quantizer = deterministic seed vectors
+    (keeps the DuckDB oracle bit-exact); kmeans_iters > 0 swaps in the
+    Lloyd-refined quantizer (`kmeans_refine_centroids`) — identical plan
+    shape, recall gated by tests/test_ann.py instead of the SQL oracle
+    (distributed float summation isn't bit-deterministic)."""
+    emb = _emb(spark, sf_dir)
+    cent = (
+        kmeans_refine_centroids(spark, sf_dir, iters=kmeans_iters)
+        if kmeans_iters
+        else _seed_centroids(emb)
+    )
 
     def assign(df, vec_col, out, n_keep=1):
         # nearest centroid(s) by cosine; ties break on centroid id

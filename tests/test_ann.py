@@ -50,3 +50,57 @@ def test_lsh_plan_stays_bucketed(spark):
     plan = ann_lsh_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_sf
+def test_ivf_kmeans_refined_quantizer(spark):
+    """Lloyd-refined IVF (kmeans_iters=3): recall must hold the seeded
+    gate, and the refined posting lists must be better balanced than the
+    seeds — the measurable win on this near-isotropic corpus (recall
+    stays 0.78 with or without refinement because there is no cluster
+    structure to exploit; max/mean list size drops 1.20 -> 1.10, i.e.
+    more even probe tasks). Centroids must actually move (not a no-op)."""
+    import statistics
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pyspark_cdc.queries.similarity import (
+        _cosine,
+        _emb,
+        _seed_centroids,
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        kmeans_refine_centroids,
+    )
+
+    truth = _pairs(ann_bruteforce_topk(spark, SF_DIR))
+    got = _pairs(ann_ivf_topk(spark, SF_DIR, kmeans_iters=3))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, f"refined IVF recall {recall:.2f} < 0.7"
+
+    emb = _emb(spark, SF_DIR).select("vec_id", "embedding")
+    seed = {r["c_id"]: list(r["c_vec"]) for r in _seed_centroids(emb).collect()}
+    ref_df = kmeans_refine_centroids(spark, SF_DIR, iters=3)
+    ref = {r["c_id"]: list(r["c_vec"]) for r in ref_df.collect()}
+    assert set(ref) == set(seed)
+    for cid in seed:
+        a, b = seed[cid], ref[cid]
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        cos = sum(x * y for x, y in zip(a, b)) / (na * nb)
+        assert cos < 0.95, f"centroid {cid} did not move (cos={cos:.3f})"
+
+    def max_over_mean(cent):
+        s = emb.join(F.broadcast(cent)).select(
+            "vec_id", "c_id", _cosine(F.col("embedding"), F.col("c_vec")).alias("cc")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("c_id").asc())
+        sizes = [
+            r["count"]
+            for r in s.withColumn("rn", F.row_number().over(w))
+            .filter("rn=1").groupBy("c_id").count().collect()
+        ]
+        return max(sizes) / statistics.mean(sizes)
+
+    assert max_over_mean(ref_df) <= 1.15, "refined lists should be near-balanced"
