@@ -462,3 +462,50 @@ def test_manifest_records_routes_and_bytes(spark, tmp_path):
     assert delta["bytes"] == ok_bytes < all_bytes
     # and read()'s switch consumes exactly the manifest sum
     assert mor._delta_bytes(mor.current_meta()) == ok_bytes
+
+
+def test_obs_get_zero_row_write_guard(tmp_path):
+    """ParquetLake._obs_get: the Spark 4.1 zero-row-partitionBy quirk
+    (Observation.get throws AssertionError in toPyRow) must fall back to
+    the zero-row defaults ONLY when the written dir really has no
+    partition dirs; a toPyRow failure with data on disk, or any other
+    failure, must re-raise (a silent empty-metrics substitute there
+    would corrupt the manifest)."""
+    import pytest
+
+    class _Obs:
+        def __init__(self, exc=None, metrics=None):
+            self._exc, self._metrics = exc, metrics
+
+        @property
+        def get(self):
+            if self._exc:
+                raise self._exc
+            return self._metrics
+
+    d = tmp_path / "out"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+
+    # normal metrics pass through untouched
+    got = ParquetLake._obs_get(_Obs(metrics={"n": 3}), str(d), n=0)
+    assert got == {"n": 3}
+
+    # toPyRow failure + empty dir (only _SUCCESS) => defaults
+    err = Exception("An error occurred while calling toPyRow.")
+    assert ParquetLake._obs_get(_Obs(exc=err), str(d), n=0, routes=[]) == {
+        "n": 0, "routes": [],
+    }
+    # missing dir behaves like empty
+    assert ParquetLake._obs_get(
+        _Obs(exc=err), str(tmp_path / "nope"), n=0) == {"n": 0}
+
+    # toPyRow failure but partition dirs exist => re-raise
+    (d / "bucket=0").mkdir()
+    with pytest.raises(Exception, match="toPyRow"):
+        ParquetLake._obs_get(_Obs(exc=err), str(d), n=0)
+
+    # non-toPyRow failures always re-raise, even on an empty dir
+    with pytest.raises(ValueError, match="boom"):
+        ParquetLake._obs_get(
+            _Obs(exc=ValueError("boom")), str(tmp_path / "nope"), n=0)
