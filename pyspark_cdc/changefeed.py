@@ -91,8 +91,15 @@ def _advance(
         state.remove()
         return
 
+    # Every invocation with data cancels any previously registered timer
+    # (GroupState contract: the timeout must be re-set on every call), so
+    # EVERY return path below that keeps state must re-arm it — otherwise
+    # a key receiving only duplicates would keep its state forever,
+    # defeating the TTL bound.
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
+        if ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
         return
     # batch LWW winner by the (lsn, tx, ts, offset) tuple
     rows = rows.sort_values(ORD_COLS, kind="mergesort")
@@ -101,7 +108,11 @@ def _advance(
 
     prev = state.get if state.exists else None  # (lsn, tx, ts, off, deleted)
     if prev is not None and ordw <= tuple(prev[:4]):
-        return  # duplicate or stale replay: nothing advances
+        # duplicate or stale replay: nothing advances, but the key DID
+        # see traffic — its idle clock restarts
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        return
     deleted = w["effective_op"] == "d"
     was_deleted = prev is None or bool(prev[4])
     state.update((*ordw, bool(deleted)))

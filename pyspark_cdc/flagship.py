@@ -16,27 +16,40 @@ from pyspark.sql import functions as F
 
 from .pylog import ensure_flagship_log
 
-_CACHE: dict = {"lake_dir": None}
+_CACHE: dict = {}
 
 
-def flagship_lake(spark: SparkSession):
+def _cached_lake(
+    spark: SparkSession,
+    cache_key: str,
+    log_dir: str,
+    n_buckets: int,
+    route_from_fields: bool = False,
+):
+    """Build-once-per-process lake over a pure-Python log: first call
+    replays the log into a kept tempdir, later calls reopen it."""
     from .sink import ParquetLake
     from .stream import replay_batch
 
-    log_dir = ensure_flagship_log()
-    if _CACHE["lake_dir"] is None:
-        lake_root = tempfile.mkdtemp(prefix="pyspark_cdc_flagship_lake_")
+    if _CACHE.get(cache_key) is None:
+        lake_root = tempfile.mkdtemp(prefix=f"pyspark_cdc_{cache_key}_lake_")
         lake = ParquetLake(
-            spark, os.path.join(lake_root, "lake"), n_buckets=16, mode="mor"
+            spark, os.path.join(lake_root, "lake"), n_buckets=n_buckets,
+            mode="mor",
         )
-        replay_batch(spark, log_dir, lake)
-        _CACHE["lake_dir"] = lake_root
+        replay_batch(
+            spark, log_dir, lake, route_from_fields=route_from_fields
+        )
+        _CACHE[cache_key] = lake_root
         return lake
-    from .sink import ParquetLake as PL
-
-    return PL(
-        spark, os.path.join(_CACHE["lake_dir"], "lake"), n_buckets=16, mode="mor"
+    return ParquetLake(
+        spark, os.path.join(_CACHE[cache_key], "lake"), n_buckets=n_buckets,
+        mode="mor",
     )
+
+
+def flagship_lake(spark: SparkSession):
+    return _cached_lake(spark, "flagship", ensure_flagship_log(), n_buckets=16)
 
 
 def fieldroute_lake(spark: SparkSession):
@@ -44,23 +57,10 @@ def fieldroute_lake(spark: SparkSession):
     the reference's exact ResolveIndex routing (sync.go:176-196) driving
     the engine's route-partitioned layout end to end."""
     from .pylog import ensure_fieldroute_log
-    from .sink import ParquetLake
-    from .stream import replay_batch
 
-    log_dir = ensure_fieldroute_log()
-    if _CACHE.get("fieldroute_dir") is None:
-        lake_root = tempfile.mkdtemp(prefix="pyspark_cdc_fieldroute_lake_")
-        lake = ParquetLake(
-            spark, os.path.join(lake_root, "lake"), n_buckets=8, mode="mor"
-        )
-        replay_batch(spark, log_dir, lake, route_from_fields=True)
-        _CACHE["fieldroute_dir"] = lake_root
-        return lake
-    from .sink import ParquetLake as PL
-
-    return PL(
-        spark, os.path.join(_CACHE["fieldroute_dir"], "lake"), n_buckets=8,
-        mode="mor",
+    return _cached_lake(
+        spark, "fieldroute", ensure_fieldroute_log(), n_buckets=8,
+        route_from_fields=True,
     )
 
 

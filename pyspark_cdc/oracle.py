@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from typing import Any
 
 KNOWN_NON_DOMAIN = {"is_delete", "payload", "route"}
@@ -47,27 +48,40 @@ def _coerce_str(v: Any) -> str | None:
     return str(v)
 
 
+_INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
+# Spark's UTF8String.toLongExact: optional surrounding whitespace, an
+# optional sign, then digits only — "57.5", "1e3", "5_0" are all null.
+_LONG_TEXT = re.compile(r"[+-]?[0-9]+")
+
+
 def _ord_int(v: Any, from_string: bool = False) -> int | None:
     """Numeric coercion of an ordering field, mirroring the engine's
-    from_json typing EXACTLY. from_string=False mirrors a LongType schema
-    field (source.lsn / source.ts_ms / source.txId): a JSON string value
-    — even a numeric-looking "123" — parses to null there, so it must
-    coerce to None here too. from_string=True mirrors the
-    transaction.id path (parsed as StringType, then cast('long')), where
-    numeric text DOES coerce."""
+    from_json typing EXACTLY (each rule verified against Spark 4.1).
+    from_string=False mirrors a LongType schema field (source.lsn /
+    source.ts_ms / source.txId): a JSON string value — even a
+    numeric-looking "123" — parses to null there, and so does ANY float
+    token (12.5 AND integral 1e3), so both coerce to None here too.
+    from_string=True mirrors the transaction.id path (parsed as
+    StringType — which renders any scalar token as its text — then
+    try_cast('long'), which accepts only integral text): numeric text
+    DOES coerce, float tokens/text do not. Either way, values outside
+    int64 overflow to null."""
     if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, float):
         return None
     if isinstance(v, str):
         if not from_string:
             return None
-        try:
-            return int(v)
-        except ValueError:
+        if not _LONG_TEXT.fullmatch(v.strip()):
             return None
-    try:
-        return int(v)
-    except (TypeError, ValueError):
-        return None
+        n = int(v.strip())
+    else:
+        try:
+            n = int(v)
+        except (TypeError, ValueError):
+            return None
+    return n if _INT64_MIN <= n <= _INT64_MAX else None
 
 
 def _truthy_delete(v: Any) -> bool:

