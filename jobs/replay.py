@@ -165,7 +165,7 @@ def main(argv=None) -> int:
                 route_from_fields=args.route_from_fields,
             )
         q.awaitTermination()
-        stats = {"status": "stream_drained", "batches": len(lake.applied_batch_ids())}
+        stats = {"status": "stream_drained", "batches": lake.applied_batch_count()}
         wall = time.monotonic() - t0
         run_walls.append(round(wall, 3))
         if args.metrics_dir:

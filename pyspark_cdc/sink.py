@@ -57,8 +57,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .schemas import (DELETED_COL, DOMAIN_COLS, KEY_COLS, LSN_COL, OFFSET_COL,
-                      TS_COL, TX_COL)
+from .order import ORD_COLS
+from .schemas import (DELETED_COL, DOMAIN_COLS, INTERNAL_COLS, KEY_COLS,
+                      LSN_COL, OFFSET_COL, TS_COL, TX_COL)
 
 BUCKET_COL = "__bucket"
 # Routing identity (SURVEY.md P8/Q11): the per-record index identity of
@@ -75,8 +76,17 @@ BUCKET_COL = "__bucket"
 # collection); key-hash bucketing inside each route keeps file sizes
 # uniform at 100 TB.
 ROUTE_COL = "route"
-ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
-INTERNAL = [*ORD_COLS, DELETED_COL]
+INTERNAL = INTERNAL_COLS
+# Extras keys that may NEVER be promoted to real columns: they collide
+# with the lake's own column namespace. parse already keeps DOMAIN_COLS
+# and `route` out of extras, but the sink defends itself regardless —
+# a source field literally named "__deleted" (the Debezium
+# ExtractNewRecordState SMT convention) or "__lsn" must not shadow the
+# engine's internal columns: promoting it would make every subsequent
+# merge/read raise AMBIGUOUS_REFERENCE, bricking the table until the
+# manifest is hand-edited. Such keys stay in the extras map (parsed
+# deltas keep the raw map) but are not materialized.
+RESERVED_COLS = frozenset([*INTERNAL_COLS, BUCKET_COL, ROUTE_COL, *DOMAIN_COLS])
 # out-of-order applied-batch-id window kept above the watermark
 RECENT_BATCH_WINDOW = 1024
 # snapshots kept by expire_snapshots (time-travel horizon)
@@ -166,6 +176,14 @@ class ParquetLake:
         self.tombstone_horizon_lsn = tombstone_horizon_lsn
         self._meta_dir = os.path.join(table_dir, "_meta")
         os.makedirs(self._meta_dir, exist_ok=True)
+        # n_buckets is a CREATE-time table property: the base layout was
+        # hashed with it, so reopening an existing lake adopts the
+        # manifest's value. Honoring a different constructor value would
+        # silently mis-route keys (touched-bucket lookups against dirs
+        # hashed under the old modulus -> stale duplicates survive).
+        existing = self.current_meta()
+        if existing is not None and existing.get("n_buckets"):
+            self.n_buckets = existing["n_buckets"]
 
     # ---------------- metadata ----------------
 
@@ -188,13 +206,28 @@ class ParquetLake:
             return json.load(f)
 
     def _commit_snapshot(self, meta: dict) -> None:
+        # fsync before the pointer swap: os.replace is atomic against
+        # process crashes, but without durably flushed file contents a
+        # power loss after the swap could leave `current` pointing at an
+        # empty/truncated snap file — the exact failure the atomic-swap
+        # design claims to prevent. O(ms) per commit, data-size
+        # independent.
         snap_file = os.path.join(self._meta_dir, f"snap-{meta['id']}.json")
         with open(snap_file, "w") as f:
             json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = os.path.join(self._meta_dir, f".current.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(meta["id"]))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._current_path())  # atomic pointer swap
+        dfd = os.open(self._meta_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the rename itself
+        finally:
+            os.close(dfd)
 
     def _empty_meta(self) -> dict:
         return {
@@ -258,13 +291,26 @@ class ParquetLake:
 
     def applied_batch_ids(self) -> list:
         """Reconstructed applied-id list: [0..wm] + out-of-order window.
-        (Exact for the streaming case of monotone integer batch ids.)"""
+        (Exact for the streaming case of monotone integer batch ids.)
+        O(n_batches) by construction — callers that only need the COUNT
+        must use applied_batch_count(), which stays O(window)."""
         meta = self.current_meta()
         if not meta:
             return []
         if "batch_ids" in meta:
             return list(meta["batch_ids"])
         return list(range(meta["batch_wm"] + 1)) + list(meta["recent_batch_ids"])
+
+    def applied_batch_count(self) -> int:
+        """Number of applied batches in O(window) — after 10^7 streamed
+        batches applied_batch_ids() would build a 10M-element list just to
+        be len()'d; the watermark already knows the answer."""
+        meta = self.current_meta()
+        if not meta:
+            return 0
+        if "batch_ids" in meta:
+            return len(meta["batch_ids"])
+        return meta["batch_wm"] + 1 + len(meta["recent_batch_ids"])
 
     # ---------------- data plane ----------------
 
@@ -426,7 +472,10 @@ class ParquetLake:
         t_summary = _time.monotonic() - t0
         touched = sorted({r[BUCKET_COL] for r in summary})
         batch_pairs = {(r[BUCKET_COL], r[ROUTE_COL]) for r in summary}
-        observed_keys = sorted({r["_k"] for r in summary if r["_k"] is not None})
+        observed_keys = sorted(
+            {r["_k"] for r in summary if r["_k"] is not None}
+            - RESERVED_COLS
+        )
         if not touched:
             new_meta = dict(self._with_batch(meta, batch_id),
                             id=meta["id"] + 1, parent=meta["id"])
@@ -715,7 +764,9 @@ class ParquetLake:
             stats["snapshot"] = new_meta["id"]
             return stats
 
-        observed_keys = sorted({k for ks in got["extras_keysets"] for k in ks})
+        observed_keys = sorted(
+            {k for ks in got["extras_keysets"] for k in ks} - RESERVED_COLS
+        )
         extra_cols = list(meta["extra_columns"])
         new_cols = [k for k in observed_keys if k not in extra_cols]
         extra_cols += new_cols
@@ -1019,10 +1070,7 @@ class ParquetLake:
             return routes is None or route in routes  # None: pre-route manifest
 
         def delta_has_route(d: dict) -> bool:
-            if route is None:
-                return True
-            routes = d.get("routes")
-            return routes is None or route in routes
+            return self._delta_matches_route(d, route)
 
         base_paths = [
             os.path.join(self.table_dir, p)
@@ -1035,7 +1083,16 @@ class ParquetLake:
         ]
         base = self._read_bucket_tree(base_paths)
         if base is not None:
-            if route is not None and ROUTE_COL in base.columns:
+            if route is not None:
+                if ROUTE_COL not in base.columns:
+                    # a pre-route base has no per-tenant layout: silently
+                    # returning every tenant's rows would break the
+                    # isolation contract, so refuse loudly
+                    raise ValueError(
+                        "route-scoped read on a base written without route "
+                        "partitioning; run a compaction on the current "
+                        "engine first"
+                    )
                 base = base.filter(F.col(ROUTE_COL) == route)
             base = self._normalize_rows(self._route_as_string(base), extra_cols)
 
@@ -1095,20 +1152,34 @@ class ParquetLake:
                     pass
         return total
 
-    def _delta_bytes(self, meta: dict) -> int:
-        """Merge-relevant bytes of all outstanding deltas. Commits record
-        each delta's byte count in its manifest entry (ok-partition only
-        for parsed deltas — dead letters never merge), so the steady-state
+    def _delta_bytes(self, meta: dict, route: str | None = None) -> int:
+        """Merge-relevant bytes of the outstanding deltas — only those a
+        route-scoped read actually keeps (manifest route pruning), so a
+        tenant read's broadcast-vs-aggregate switch is sized by the
+        tenant's own backlog, not the whole table's. Commits record each
+        delta's byte count in its manifest entry (ok-partition only for
+        parsed deltas — dead letters never merge), so the steady-state
         read sums a handful of manifest integers; a walk happens only for
         legacy entries without the field."""
         total = 0
         for d in meta.get("deltas", []):
+            if not self._delta_matches_route(d, route):
+                continue
             if isinstance(d, dict) and "bytes" in d:
                 total += d["bytes"]
                 continue
             p = os.path.join(self.table_dir, d["path"] if isinstance(d, dict) else d)
             total += self._tree_bytes(p)
         return total
+
+    @staticmethod
+    def _delta_matches_route(d, route: str | None) -> bool:
+        """Manifest-level delta pruning for route-scoped reads; an entry
+        without a route list (pre-route manifest) matches every route."""
+        if route is None:
+            return True
+        routes = d.get("routes") if isinstance(d, dict) else None
+        return routes is None or route in routes
 
     def _merge_read_broadcast(self, base: DataFrame, delta: DataFrame) -> DataFrame:
         """MoR read WITHOUT a table-wide shuffle, for the steady state
@@ -1186,7 +1257,7 @@ class ParquetLake:
                 df = base  # compacted table: plain pruned scan, no agg
             elif base is None:
                 df = resolve_lww(delta)
-            elif self._delta_bytes(meta) <= self.broadcast_delta_bytes:
+            elif self._delta_bytes(meta, route=route) <= self.broadcast_delta_bytes:
                 df = self._merge_read_broadcast(base, delta)
             else:
                 df = resolve_lww(

@@ -129,3 +129,85 @@ def test_snapshot_files_are_immutable_history(spark, tmp_table):
     metas = [f for f in os.listdir(os.path.join(tmp_table, "_meta")) if f.startswith("snap-")]
     assert len(metas) == 2
     assert lake.applied_batch_ids() == [0, 1]
+
+
+def test_reserved_extras_keys_never_promoted_cow(spark, tmp_table):
+    """A source field named like an engine-internal column ("__deleted"
+    is the Debezium ExtractNewRecordState SMT convention; "__lsn" etc.)
+    must NOT be promoted to a real column — promotion would make every
+    later merge/read raise AMBIGUOUS_REFERENCE and brick the table
+    (round-4 review). The record itself still applies normally."""
+    lake = ParquetLake(spark, tmp_table, n_buckets=4)
+    lake.merge(_deduped(spark, [
+        _env("r", "p", 1, content="live",
+             extra={"__deleted": "true", "__lsn": "999", "tier": "gold"}),
+    ]), 0)
+    assert lake.extra_columns() == ["tier"]  # real evolution still works
+    row = rows_by_key(lake.read())[("r", "p")]
+    assert row["content"] == "live" and row["tier"] == "gold"
+    # the decoy "__deleted" extras value neither deletes the row nor
+    # poisons later merges/reads
+    lake.merge(_deduped(spark, [_env("r", "p", 2, content="v2")]), 1)
+    assert rows_by_key(lake.read())[("r", "p")]["content"] == "v2"
+
+
+def test_reserved_extras_keys_never_promoted_mor(spark, tmp_table):
+    """Same guard on the streaming MoR path (merge_parsed collects
+    observed keys via an Observation): without it the commit SUCCEEDS and
+    every subsequent read of the parsed delta dies flattening the
+    promoted duplicate column."""
+    recs = [
+        {"key": None,
+         "value": _env("r", "p", 1, content="live",
+                       extra={"__deleted": "true", "__bucket": "7",
+                              "tier": "gold"}),
+         "topic": "t", "partition": 0, "offset": 0},
+    ]
+    raw = spark.createDataFrame(recs, schema=KAFKA_SHAPE)
+    lake = ParquetLake(spark, tmp_table, n_buckets=4, mode="mor")
+    stats = lake.merge_parsed(parse_envelopes(raw), 0)
+    assert stats["status"] == "committed"
+    assert lake.extra_columns() == ["tier"]
+    row = rows_by_key(lake.read())[("r", "p")]
+    assert row["content"] == "live" and row["tier"] == "gold"
+
+
+def test_reopen_adopts_manifest_n_buckets(spark, tmp_table):
+    """n_buckets is a create-time table property: reopening with a
+    different value must adopt the manifest's (honoring the new one would
+    hash keys to different buckets and leave stale duplicates in the old
+    dirs — silent wrong results, round-4 review)."""
+    lake = ParquetLake(spark, tmp_table, n_buckets=8)
+    lake.merge(_deduped(spark, [_env("r", "p", 1, content="v1")]), 0)
+    reopened = ParquetLake(spark, tmp_table, n_buckets=64)
+    assert reopened.n_buckets == 8
+    reopened.merge(_deduped(spark, [_env("r", "p", 2, content="v2")]), 1)
+    rows = rows_by_key(reopened.read())
+    assert len(rows) == 1 and rows[("r", "p")]["content"] == "v2"
+    assert reopened.applied_batch_count() == len(reopened.applied_batch_ids()) == 2
+
+
+def test_route_scoped_read_on_preroute_base_raises(spark, tmp_table):
+    """A base written without route partitioning cannot honor a
+    tenant-scoped read; silently returning every tenant's rows would
+    break the isolation contract, so read(route=X) must refuse loudly
+    (round-4 review). Plain read() keeps working (route backfills null)."""
+    import pytest
+
+    lake = ParquetLake(spark, tmp_table, n_buckets=2)
+    lake.merge(_deduped(spark, [_env("r", "p", 1, content="v1")]), 0)
+    meta = lake.current_meta()
+    # simulate a pre-route (round-2-era) base: rewrite one bucket dir
+    # without route dirs and strip the manifest's route lists
+    (bucket, rel), = meta["buckets"].items()
+    flat = spark.read.parquet(os.path.join(tmp_table, rel)).drop("route")
+    new_rel = os.path.join("data", "preroute_b" + bucket)
+    flat.write.parquet(os.path.join(tmp_table, new_rel))
+    meta2 = dict(meta, id=meta["id"] + 1, parent=meta["id"],
+                 buckets={bucket: new_rel})
+    meta2.pop("bucket_routes", None)
+    lake._commit_snapshot(meta2)
+
+    assert rows_by_key(lake.read())[("r", "p")]["content"] == "v1"
+    with pytest.raises(ValueError, match="route-scoped read"):
+        lake.read(route="t").collect()
