@@ -211,3 +211,53 @@ def test_route_scoped_read_on_preroute_base_raises(spark, tmp_table):
     assert rows_by_key(lake.read())[("r", "p")]["content"] == "v1"
     with pytest.raises(ValueError, match="route-scoped read"):
         lake.read(route="t").collect()
+
+
+def test_clustered_lww_same_winners_single_exchange(spark, tmp_path):
+    """resolve_lww_clustered (the compaction/COW fold aggregation) must
+    pick exactly the winners resolve_lww picks — bucket is a function of
+    the key, so the groups are identical even when a key's rows disagree
+    on route — and its full fold plan (repartition -> LWW aggregate ->
+    partitionBy write) must contain exactly ONE shuffle exchange: the
+    groupBy's ClusteredDistribution(bucket, keys) is satisfied by the
+    HashPartitioning(bucket) repartition, and the winner rows flow into
+    the dynamic-partition write without being re-exchanged."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc.sink import (BUCKET_COL, bucket_expr, resolve_lww,
+                                  resolve_lww_clustered)
+
+    rows = [
+        # key (r0,p0): route migrates a->b; lsn 3 must win with route b
+        ("r0", "p0", 1, 0, 1, 0, "a", "v1", False),
+        ("r0", "p0", 3, 0, 3, 2, "b", "v3", False),
+        ("r0", "p0", 2, 0, 2, 1, "a", "v2", False),
+        # key (r1,p1): exact (lsn,tx,ts) tie broken by offset
+        ("r1", "p1", 5, 1, 5, 7, "a", "tie-lo", False),
+        ("r1", "p1", 5, 1, 5, 9, "a", "tie-hi", False),
+        # key (r2,p2): single tombstone row survives as-is
+        ("r2", "p2", 4, 0, 4, 3, "b", None, True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, __lsn long, __tx_id long, __ts_ms long,"
+        " __offset long, route string, content string, __deleted boolean",
+    ).withColumn(BUCKET_COL, bucket_expr(4))
+
+    plain = {
+        (r["repo"], r["path"]): (r["route"], r["content"], r["__lsn"])
+        for r in resolve_lww(df.drop(BUCKET_COL)).collect()
+    }
+    clustered = {
+        (r["repo"], r["path"]): (r["route"], r["content"], r["__lsn"])
+        for r in resolve_lww_clustered(df, 4).collect()
+    }
+    assert clustered == plain
+    assert clustered[("r0", "p0")] == ("b", "v3", 3)
+    assert clustered[("r1", "p1")][1] == "tie-hi"
+
+    out = str(tmp_path / "fold_out")
+    merged = resolve_lww_clustered(df, 4)
+    merged.write.partitionBy(BUCKET_COL, "route").mode("overwrite").parquet(out)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
