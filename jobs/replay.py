@@ -140,6 +140,11 @@ def main(argv=None) -> int:
     else:
         if not args.checkpoint:
             ap.error("--checkpoint is required in stream mode")
+        from pyspark_cdc.metrics import MetricsWriter
+
+        # lineage rides a background thread so the per-batch lineage job
+        # overlaps the next batch's ingest; flushed before metrics reads
+        metrics = MetricsWriter(args.metrics_dir, async_lineage=True)
         t0 = time.monotonic()
         if args.source == "kafka":
             if not (args.brokers and args.topics):
@@ -153,18 +158,19 @@ def main(argv=None) -> int:
             )
             q = run_stream(
                 raw, lake, checkpoint_dir=args.checkpoint,
-                metrics_dir=args.metrics_dir,
+                metrics_dir=metrics,
                 available_now=not args.continuous,
                 route_from_fields=args.route_from_fields,
             )
         else:
             q = replay_stream(
                 spark, args.log_dir, lake,
-                checkpoint_dir=args.checkpoint, metrics_dir=args.metrics_dir,
+                checkpoint_dir=args.checkpoint, metrics_dir=metrics,
                 max_files_per_trigger=args.max_files_per_trigger,
                 route_from_fields=args.route_from_fields,
             )
         q.awaitTermination()
+        metrics.flush()  # drain background lineage before reading it
         stats = {"status": "stream_drained", "batches": lake.applied_batch_count()}
         wall = time.monotonic() - t0
         run_walls.append(round(wall, 3))

@@ -92,6 +92,35 @@ RECENT_BATCH_WINDOW = 1024
 # snapshots kept by expire_snapshots (time-travel horizon)
 SNAPSHOT_RETENTION = 8
 
+# dead-letter taxonomy (status partition values of a parsed delta)
+DLQ_STATUSES = ("ok", "tombstone", "malformed", "unknown_op",
+                "bad_payload", "missing_key", "missing_route")
+
+_MERGE_OBS_AGGS: list | None = None
+
+
+def _merge_obs_aggs() -> list:
+    """Observation aggregates riding the merge_parsed write — record count,
+    per-status counts, observed open-world keys (schema evolution), and
+    merge-relevant routes for manifest-level tenant pruning (no post-write
+    directory walk). Built ONCE per process: Column trees are immutable
+    unresolved expressions, and rebuilding them each micro-batch is pure
+    py4j overhead inside the sustained-rate wall."""
+    global _MERGE_OBS_AGGS
+    if _MERGE_OBS_AGGS is None:
+        _MERGE_OBS_AGGS = [
+            F.count(F.lit(1)).alias("n_records"),
+            F.collect_set(F.map_keys("extras")).alias("extras_keysets"),
+            F.collect_set(
+                F.when(F.col("status") == "ok", F.col(ROUTE_COL))
+            ).alias("ok_routes"),
+            *[
+                F.count_if(F.col("status") == s).alias(f"n_{s}")
+                for s in DLQ_STATUSES
+            ],
+        ]
+    return _MERGE_OBS_AGGS
+
 
 def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(*KEY_COLS), F.lit(n_buckets))
@@ -728,27 +757,13 @@ class ParquetLake:
 
         if self.mode != "mor":
             raise ValueError("merge_parsed requires mode='mor'")
+        t_enter = _time.monotonic()
         meta = self.current_meta() or self._empty_meta()
         if self._batch_applied(meta, batch_id):
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
 
         obs = Observation(f"merge_parsed_{batch_id}")
-        status_counts = [
-            F.count_if(F.col("status") == s).alias(f"n_{s}")
-            for s in ("ok", "tombstone", "malformed", "unknown_op",
-                      "bad_payload", "missing_key", "missing_route")
-        ]
-        src = parsed.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_records"),
-            F.collect_set(F.map_keys("extras")).alias("extras_keysets"),
-            # merge-relevant routes for manifest-level tenant pruning,
-            # collected during the write (no post-write directory walk)
-            F.collect_set(
-                F.when(F.col("status") == "ok", F.col(ROUTE_COL))
-            ).alias("ok_routes"),
-            *status_counts,
-        )
+        src = parsed.observe(obs, *_merge_obs_aggs())
 
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
@@ -763,18 +778,22 @@ class ParquetLake:
         # PartitionFilters. Delta backlogs are small by construction
         # (compact_every bounds them), so a tenant read scanning a pruned
         # delta's ok-files is O(backlog), not O(table).
+        # per-batch overhead breakdown (driver-side serial costs around the
+        # one write job) — lag diagnostics; all fields are milliseconds
+        timings = {"setup_ms": round((_time.monotonic() - t_enter) * 1000, 1)}
         src.write.partitionBy("status").mode("overwrite").parquet(out_dir)
+        t_after_write = _time.monotonic()
         got = self._obs_get(
             obs, out_dir,
             n_records=0, extras_keysets=[], ok_routes=[],
-            **{f"n_{s}": 0 for s in
-               ("ok", "tombstone", "malformed", "unknown_op",
-                "bad_payload", "missing_key", "missing_route")},
+            **{f"n_{s}": 0 for s in DLQ_STATUSES},
         )
+        timings["obs_ms"] = round((_time.monotonic() - t_after_write) * 1000, 1)
         stats = {
             "status": "committed",
             "batch_id": batch_id,
-            "write_sec": round(_time.monotonic() - t0, 3),
+            "write_sec": round(t_after_write - t0, 3),
+            "timings": timings,
             "n_records": got["n_records"],
             **{k: got[k] for k in got if k.startswith("n_") and k != "n_records"},
         }
@@ -796,6 +815,7 @@ class ParquetLake:
         extra_cols += new_cols
         stats["new_columns"] = new_cols
 
+        t_meta = _time.monotonic()
         new_meta = {
             "id": meta["id"] + 1,
             "parent": meta["id"],
@@ -816,6 +836,7 @@ class ParquetLake:
                if k in ("batch_wm", "recent_batch_ids")},
         }
         self._commit_snapshot(new_meta)  # batch durable before compaction
+        timings["commit_ms"] = round((_time.monotonic() - t_meta) * 1000, 1)
         stats["delta_dir"] = out_dir
 
         if self._raw_delta_count(new_meta) >= self.compact_every:

@@ -70,8 +70,13 @@ def process_batch(
             stats = lake.merge_parsed(parsed, batch_id)
         if want_lineage:
             if stats.get("delta_dir"):
-                rows = delta_lineage(lake.spark, stats["delta_dir"], batch_id).collect()
-                metrics.write_rows(rows, batch_id, wall_ms=sw.wall_ms)
+                # sync by default; a MetricsWriter(async_lineage=True)
+                # overlaps this small job with the next batch's ingest
+                def _lineage(dd=stats["delta_dir"], bid=batch_id, w=sw.wall_ms):
+                    rows = delta_lineage(lake.spark, dd, bid).collect()
+                    metrics.write_rows(rows, bid, wall_ms=w)
+
+                metrics.submit(_lineage)
             else:
                 # duplicate/empty epoch: zero-count continuity row so
                 # downstream per-batch consumers see every batch_id
@@ -136,8 +141,13 @@ def run_stream(
     """Checkpointed streaming ingest over ANY Kafka-shaped source stream
     (file log or real Kafka — the columns are identical, SURVEY.md S1/S2).
     available_now=True drains and stops (replay/bench); False runs a
-    continuous tail job."""
-    metrics = MetricsWriter(metrics_dir)
+    continuous tail job. metrics_dir may be a ready MetricsWriter (e.g.
+    an async_lineage one the caller will flush())."""
+    metrics = (
+        metrics_dir
+        if isinstance(metrics_dir, MetricsWriter)
+        else MetricsWriter(metrics_dir)
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(batch_df, batch_id, lake, metrics, lww_method,

@@ -86,6 +86,50 @@ def test_restarted_query_does_not_reapply_epochs(spark, tmp_path):
     assert lake.current_meta()["id"] == snap
 
 
+def test_async_lineage_matches_sync(spark, tmp_path):
+    """MetricsWriter(async_lineage=True) moves the per-batch lineage job
+    off the hot loop (it overlaps the next batch's ingest); after flush()
+    the lineage table must be IDENTICAL to a synchronous run over the
+    same log, and flush() must surface background failures."""
+    import pytest
+
+    from pyspark_cdc.metrics import MetricsWriter
+
+    log_dir = _write_log(spark, tmp_path)
+
+    lake_s = ParquetLake(spark, str(tmp_path / "lake_s"), n_buckets=8)
+    replay_stream(
+        spark, log_dir, lake_s, checkpoint_dir=str(tmp_path / "ckpt_s"),
+        metrics_dir=str(tmp_path / "m_s"), max_files_per_trigger=2,
+    ).awaitTermination()
+
+    lake_a = ParquetLake(spark, str(tmp_path / "lake_a"), n_buckets=8)
+    mw = MetricsWriter(str(tmp_path / "m_a"), async_lineage=True)
+    replay_stream(
+        spark, log_dir, lake_a, checkpoint_dir=str(tmp_path / "ckpt_a"),
+        metrics_dir=mw, max_files_per_trigger=2,
+    ).awaitTermination()
+    mw.flush()
+
+    def rows(d):
+        df = spark.read.parquet(str(tmp_path / d / "lineage"))
+        cols = sorted(c for c in df.columns if c != "batch_wall_ms")
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    sync_rows, async_rows = rows("m_s"), rows("m_a")
+    assert sync_rows and sync_rows == async_rows
+
+    boom = MetricsWriter(str(tmp_path / "m_boom"), async_lineage=True)
+
+    def _fail():
+        raise RuntimeError("lineage boom")
+
+    boom.submit(_fail)
+    with pytest.raises(RuntimeError, match="lineage boom"):
+        boom.flush()
+    boom.flush()  # drained: second flush is a no-op
+
+
 def test_replay_job_kafka_arg_validation(spark, tmp_path):
     """jobs/replay.py --source kafka demands --brokers/--topics before
     touching any cluster (argparse-level guard)."""
