@@ -93,7 +93,30 @@ def host_probe(secs: float = 1.0) -> dict:
     }
 
 
-def jvm_probe(spark) -> dict:
+def _jvm_rate(spark, n: int) -> float:
+    """One rep of the JVM calibration expression; Mrows/s."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n, numPartitions=256)
+    expr = F.sha2(
+        F.concat_ws("_", F.col("id"), F.xxhash64("id"), F.xxhash64("id", F.lit(1))),
+        256,
+    )
+    t0 = time.monotonic()
+    df.select(F.max(expr).alias("m")).collect()
+    return n / (time.monotonic() - t0) / 1e6
+
+
+# Below this delivered JVM rate the host is in a contention STORM, not
+# ordinary noise: clean windows measure 7.5–25.5 Mrows/s on this probe and
+# ordinary degraded windows 3–6; storm windows measure 0.15–1.4 (2026-08-18
+# incident, BENCH/BASELINE.md host-calibration appendix) while the
+# pure-Python CPU probe stays healthy — the hypervisor throttles the JVM
+# specifically, 20–100x.
+STORM_MROWS = 2.5
+
+
+def jvm_probe(spark, n: int = 30_000_000) -> dict:
     """~5s in-session JVM calibration: sha2+xxhash64 over spark.range —
     compute-bound, zero I/O, zero shuffle, allocation-heavy like the JSON
     parse hot path. Runs in the SAME JVM/window as the bench, so its
@@ -104,23 +127,47 @@ def jvm_probe(spark) -> dict:
     """
     from pyspark.sql import functions as F
 
-    n = 30_000_000
     df = spark.range(n, numPartitions=256)
     expr = F.sha2(
         F.concat_ws("_", F.col("id"), F.xxhash64("id"), F.xxhash64("id", F.lit(1))),
         256,
     )
     df.limit(1_000_000).select(F.max(expr)).collect()  # JIT warm-up
-    rates = []
-    for _ in range(3):  # contention is BURSTY (measured 3.4x swing in 2 min)
-        t0 = time.monotonic()
-        df.select(F.max(expr).alias("m")).collect()
-        rates.append(n / (time.monotonic() - t0) / 1e6)
+    # First rep small: in a storm window one 30M-row rep costs 200+ s, so
+    # size the remaining reps down to keep the probe itself bounded.
+    rates = [_jvm_rate(spark, 5_000_000)]
+    rep_n = n if rates[0] >= STORM_MROWS else 5_000_000
+    for _ in range(2):  # contention is BURSTY (measured 3.4x swing in 2 min)
+        rates.append(_jvm_rate(spark, rep_n))
     rates.sort()
     return {
         "jvm_probe_mrows_per_sec": round(rates[1], 2),
         "jvm_probe_mrows_min_max": [round(rates[0], 2), round(rates[-1], 2)],
     }
+
+
+def wait_out_storm(spark, first_rate: float, max_waits: int = 5) -> dict:
+    """Bounded calibrate-then-measure gate for host contention storms.
+
+    This shared VM has minute-scale windows in which the hypervisor
+    throttles JVM execution 20–100x while pure-Python CPU stays healthy
+    (see STORM_MROWS). Measuring the engine inside such a window records
+    the host, not the engine — so if the calibration probe reads a storm,
+    sleep and re-probe up to max_waits times (~45 s apart, each re-probe a
+    single bounded 5M-row rep) and start measuring only when the window
+    clears or the budget is spent. Every attempt's rate is recorded in the
+    output JSON (`jvm_probe_wait_rates`) — nothing is dropped or hidden,
+    and the gate never touches a reported wall; it only chooses WHEN the
+    measurement starts, exactly like re-running a benchmark on a quiet
+    machine.
+    """
+    waits: list[float] = [round(first_rate, 2)]
+    rate = first_rate
+    while rate < STORM_MROWS and len(waits) <= max_waits:
+        time.sleep(45)
+        rate = _jvm_rate(spark, 5_000_000)
+        waits.append(round(rate, 2))
+    return {"jvm_probe_wait_rates": waits} if len(waits) > 1 else {}
 
 
 def build_spark(cpus: int):
@@ -212,7 +259,12 @@ def main() -> int:
     probe = host_probe()
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    probe.update(jvm_probe(spark))
+    jp = jvm_probe(spark)
+    gate = wait_out_storm(spark, jp["jvm_probe_mrows_per_sec"])
+    if gate:
+        probe.update(gate)
+        jp = jvm_probe(spark)  # re-stamp the window the bench actually runs in
+    probe.update(jp)
     workdir = tempfile.mkdtemp(prefix="pyspark_cdc_bench_")
 
     queries: dict[str, float] = {}
@@ -240,6 +292,10 @@ def main() -> int:
             queries[bench_key] = sorted(walls)[1]  # median of 3
             extras[f"{bench_key}_rows"] = n
             extras[f"{bench_key}_walls"] = walls
+        # One bounded rep AFTER the suite: did the window shift mid-bench?
+        extras["jvm_probe_after_mrows_per_sec"] = round(
+            _jvm_rate(spark, 5_000_000), 2
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
