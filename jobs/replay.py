@@ -20,6 +20,31 @@ import sys
 import time
 
 
+def _jvm_stamp(spark) -> float:
+    """One bounded rep of the JVM calibration expression (Mrows/s).
+
+    Same expression as bench.py's jvm_probe / scripts/cpu_probe.py:
+    sha2+xxhash64 over spark.range — compute-bound, zero I/O, zero
+    shuffle. With --probe-stamps the job runs this once BEFORE and once
+    AFTER the replay, bracketing the leg: on this shared host the
+    hypervisor throttles JVM execution 20–100x in minute-scale storms
+    (BENCH/BASELINE.md, 2026-08-18 incident), and a leg whose stamps are
+    depressed measured the host, not the engine. Never part of any
+    reported wall.
+    """
+    from pyspark.sql import functions as F
+
+    n = 5_000_000
+    df = spark.range(n, numPartitions=64)
+    expr = F.sha2(
+        F.concat_ws("_", F.col("id"), F.xxhash64("id"), F.xxhash64("id", F.lit(1))),
+        256,
+    )
+    t0 = time.monotonic()
+    df.select(F.max(expr).alias("m")).collect()
+    return round(n / (time.monotonic() - t0) / 1e6, 2)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="pyspark-cdc replay job")
     ap.add_argument("--log-dir", required=True, help="Kafka-shaped parquet event log")
@@ -74,6 +99,12 @@ def main(argv=None) -> int:
     ap.add_argument("--gen-keys", type=int, default=100_000)
     ap.add_argument("--gen-files", type=int, default=32)
     ap.add_argument("--hot-pct", type=int, default=30)
+    ap.add_argument("--probe-stamps", action="store_true",
+                    help="bracket the replay with one in-JVM calibration "
+                         "rep before and after (jvm_probe_pre/post_mrows "
+                         "in the output JSON) — per-leg host-window "
+                         "evidence for scaling sweeps; excluded from "
+                         "every reported wall")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -100,6 +131,8 @@ def main(argv=None) -> int:
         spark, args.table_dir, n_buckets=args.n_buckets,
         mode=args.table_mode, compact_every=args.compact_every,
     )
+
+    probe_pre = _jvm_stamp(spark) if args.probe_stamps else None
 
     run_walls: list[float] = []
     if args.mode == "batch":
@@ -246,6 +279,9 @@ def main(argv=None) -> int:
         "snapshot": (lake.current_meta() or {}).get("id"),
         "merge": stats,
     }
+    if args.probe_stamps:
+        out["jvm_probe_pre_mrows"] = probe_pre
+        out["jvm_probe_post_mrows"] = _jvm_stamp(spark)
     if args.read_route:
         out["route"] = args.read_route
         out["route_rows"] = lake.read(route=args.read_route).count()

@@ -72,7 +72,7 @@ run() {  # run <n_executors> <tag>
     jobs/replay.py --log-dir "$WORK/log" --table-dir "$WORK/lake_$tag" \
     --mode stream --checkpoint "$WORK/ckpt_$tag" \
     --metrics-dir "$WORK/metrics_$tag" \
-    --max-files-per-trigger 32 --n-buckets 64 \
+    --max-files-per-trigger 32 --n-buckets 64 --probe-stamps \
     2>"$WORK/submit_$tag.err" | tail -1 > "$WORK/result_$tag.json"
   echo "$nexec executors x $CORES_PER_EXEC cores: $(cat "$WORK/result_$tag.json")"
 }
