@@ -215,3 +215,30 @@ def test_windowed_change_rate_with_watermark(spark, tmp_path):
         assert batch[k] == v, k
     # append mode: only watermark-passed windows emit, so streamed < batch
     assert set(streamed) < set(batch)
+
+
+def test_replay_job_probe_stamps(spark, tmp_path, capsys):
+    """--probe-stamps brackets the replay with one in-JVM calibration rep
+    on each side: both stamps appear in the output JSON as positive
+    Mrows/s floats, and neither key leaks into a run without the flag."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "replay_job_stamps",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "replay.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    log_dir = _write_log(spark, tmp_path)
+    base = ["--log-dir", log_dir, "--mode", "batch", "--fresh"]
+
+    mod.main(base + ["--table-dir", str(tmp_path / "t1"), "--probe-stamps"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("jvm_probe_pre_mrows", "jvm_probe_post_mrows"):
+        assert isinstance(out[key], float) and out[key] > 0, (key, out.get(key))
+
+    mod.main(base + ["--table-dir", str(tmp_path / "t2")])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "jvm_probe_pre_mrows" not in out and "jvm_probe_post_mrows" not in out
