@@ -218,7 +218,9 @@ def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
     )
     walls = []
     n_rows = 0
-    for run in (1, 2, 3, 4):
+
+    def one_run(run: int) -> None:
+        nonlocal n_rows
         lake = ParquetLake(
             spark, os.path.join(workdir, f"lake{run}"), n_buckets=64, mode="mor"
         )
@@ -226,6 +228,16 @@ def bench_replay(spark, sf: float, workdir: str) -> tuple[float, dict]:
         replay_batch(spark, log_dir, lake)
         n_rows = lake.read().count()
         walls.append(time.monotonic() - t0)
+
+    for run in (1, 2, 3, 4):
+        one_run(run)
+    # A >3x spread across the measured runs means a contention storm hit
+    # mid-bench (identical input, identical code; clean-window spread is
+    # <1.3x) — two bounded extra runs make the median robust to it. All
+    # walls are reported either way.
+    if max(walls[1:]) / max(min(walls[1:]), 1e-9) > 3.0:
+        one_run(5)
+        one_run(6)
     tail = sorted(walls[1:])
     steady = tail[len(tail) // 2]  # odd-length tail => exact median
     return steady, {
