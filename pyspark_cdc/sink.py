@@ -96,30 +96,35 @@ SNAPSHOT_RETENTION = 8
 DLQ_STATUSES = ("ok", "tombstone", "malformed", "unknown_op",
                 "bad_payload", "missing_key", "missing_route")
 
-_MERGE_OBS_AGGS: list | None = None
+_MERGE_OBS_AGGS: dict[int, list] = {}
 
 
-def _merge_obs_aggs() -> list:
+def _merge_obs_aggs(n_buckets: int) -> list:
     """Observation aggregates riding the merge_parsed write — record count,
-    per-status counts, observed open-world keys (schema evolution), and
-    merge-relevant routes for manifest-level tenant pruning (no post-write
-    directory walk). Built ONCE per process: Column trees are immutable
-    unresolved expressions, and rebuilding them each micro-batch is pure
-    py4j overhead inside the sustained-rate wall."""
-    global _MERGE_OBS_AGGS
-    if _MERGE_OBS_AGGS is None:
-        _MERGE_OBS_AGGS = [
+    per-status counts, observed open-world keys (schema evolution),
+    merge-relevant routes for manifest-level tenant pruning, and the set
+    of key-hash BUCKETS the batch's ok rows land in (so a later MAJOR
+    compaction folds ONLY those buckets — the manifest knows the touched
+    set without any delta re-scan). Built ONCE per (process, n_buckets):
+    Column trees are immutable unresolved expressions, and rebuilding
+    them each micro-batch is pure py4j overhead inside the
+    sustained-rate wall."""
+    if n_buckets not in _MERGE_OBS_AGGS:
+        _MERGE_OBS_AGGS[n_buckets] = [
             F.count(F.lit(1)).alias("n_records"),
             F.collect_set(F.map_keys("extras")).alias("extras_keysets"),
             F.collect_set(
                 F.when(F.col("status") == "ok", F.col(ROUTE_COL))
             ).alias("ok_routes"),
+            F.collect_set(
+                F.when(F.col("status") == "ok", bucket_expr(n_buckets))
+            ).alias("ok_buckets"),
             *[
                 F.count_if(F.col("status") == s).alias(f"n_{s}")
                 for s in DLQ_STATUSES
             ],
         ]
-    return _MERGE_OBS_AGGS
+    return _MERGE_OBS_AGGS[n_buckets]
 
 
 def bucket_expr(n_buckets: int):
@@ -206,6 +211,7 @@ class ParquetLake:
         tombstone_horizon_lsn: int | None = None,
         broadcast_delta_bytes: int = 32 * 1024 * 1024,
         major_every: int = 4,
+        full_major: bool = False,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -223,6 +229,10 @@ class ParquetLake:
         # every compact_every*major_every batches, while the read path
         # sees at most compact_every-1 raw deltas plus one merged one.
         self.major_every = major_every
+        # full_major=True forces every MAJOR fold to rewrite the whole
+        # base (the pre-subset behavior) — kept for the subset≡full
+        # equivalence tests and as an operational escape hatch.
+        self.full_major = full_major
         # MoR read strategy switch: when the outstanding deltas are at most
         # this many parquet bytes, read() resolves them with a BROADCAST
         # key-set join against the base (scan-only, no table-wide shuffle);
@@ -599,7 +609,7 @@ class ParquetLake:
         if meta.get("deltas"):
             # COW over a table with pending MoR deltas: fold them into the
             # base first so the bucket rewrite below sees every version.
-            meta = self._compact(meta)
+            meta = self._compact(meta, full=self.full_major)
 
         tgt = self._read_buckets(meta, touched, extra_cols)
         tgt = tgt.unionByName(src_flat, allowMissingColumns=True)
@@ -713,6 +723,7 @@ class ParquetLake:
                 "routes": sorted(
                     self._obs_get(obs, out_dir, routes=[])["routes"] or []
                 ),
+                "buckets": sorted(int(b) for b in touched),
                 "bytes": self._tree_bytes(out_dir)}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
@@ -763,7 +774,7 @@ class ParquetLake:
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
 
         obs = Observation(f"merge_parsed_{batch_id}")
-        src = parsed.observe(obs, *_merge_obs_aggs())
+        src = parsed.observe(obs, *_merge_obs_aggs(self.n_buckets))
 
         data_rel = os.path.join("data", f"d{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
@@ -785,7 +796,7 @@ class ParquetLake:
         t_after_write = _time.monotonic()
         got = self._obs_get(
             obs, out_dir,
-            n_records=0, extras_keysets=[], ok_routes=[],
+            n_records=0, extras_keysets=[], ok_routes=[], ok_buckets=[],
             **{f"n_{s}": 0 for s in DLQ_STATUSES},
         )
         timings["obs_ms"] = round((_time.monotonic() - t_after_write) * 1000, 1)
@@ -827,10 +838,13 @@ class ParquetLake:
             "deltas": meta.get("deltas", [])
             + [{"path": data_rel, "format": "parsed",
                 "routes": sorted(got["ok_routes"] or []),
-                # ok-partition bytes recorded at commit (one bounded walk
-                # of the just-written files) so read()'s broadcast-vs-
-                # aggregate switch never re-walks the tree and never
-                # counts dead-letter bytes
+                # touched key-hash buckets recorded at commit so a MAJOR
+                # fold reads only these base buckets (subset major)
+                "buckets": sorted(int(b) for b in got["ok_buckets"] or []),
+                # ok-partition bytes recorded at commit (one filesystem
+                # summary call over the just-written files) so read()'s
+                # broadcast-vs-aggregate switch never re-walks the tree
+                # and never counts dead-letter bytes
                 "bytes": self._tree_bytes(os.path.join(out_dir, "status=ok"))}],
             **{k: v for k, v in self._with_batch(meta, batch_id).items()
                if k in ("batch_wm", "recent_batch_ids")},
@@ -898,7 +912,9 @@ class ParquetLake:
             not meta.get("buckets")
             or meta.get("minor_count", 0) >= self.major_every - 1
         )
-        return self._compact(meta) if is_major else self._compact_minor(meta)
+        if is_major:
+            return self._compact(meta, full=self.full_major)
+        return self._compact_minor(meta)
 
     def _compact_minor(self, meta: dict) -> dict:
         """MINOR compaction: fold every outstanding delta into ONE flat
@@ -921,19 +937,22 @@ class ParquetLake:
             self.n_buckets,
         )
 
-        # Row count + route list ride the fold's own write job (Observation,
-        # same pattern as merge_parsed) — no post-write directory walk.
+        # Row count + route list + bucket list ride the fold's own write
+        # job (Observation, same pattern as merge_parsed) — no post-write
+        # directory walk; the bucket list keeps the merged delta eligible
+        # for a later SUBSET major fold.
         obs = Observation(f"compact_minor_{meta['id'] + 1}")
         merged = merged.observe(
             obs,
             F.count(F.lit(1)).alias("n_rows"),
             F.collect_set(F.col(ROUTE_COL)).alias("routes"),
+            F.collect_set(F.col(BUCKET_COL)).alias("buckets"),
         )
 
         data_rel = os.path.join("data", f"m{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
         merged.write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
-        got = self._obs_get(obs, out_dir, n_rows=0, routes=[])
+        got = self._obs_get(obs, out_dir, n_rows=0, routes=[], buckets=[])
 
         # A backlog whose rows are ALL dead letters folds to ZERO ok rows:
         # the write leaves only _SUCCESS (no partition dirs), and
@@ -946,6 +965,7 @@ class ParquetLake:
         folded = (
             [{"path": data_rel, "format": "flat", "merged": True,
               "routes": sorted(got["routes"] or []),
+              "buckets": sorted(int(b) for b in got["buckets"] or []),
               "bytes": self._tree_bytes(out_dir)}]
             if wrote_rows
             else []
@@ -964,24 +984,66 @@ class ParquetLake:
         self.expire_snapshots()
         return new_meta
 
-    def _compact(self, meta: dict) -> dict:
-        """MAJOR compaction: fold all deltas into the base — LWW over
-        base+deltas, rewrite every bucket, drop the delta list. Tombstones
-        are RETAINED in the base by default (they guard late-replayed
-        older upserts); with `tombstone_horizon_lsn` set, tombstones older
-        than the source's replay horizon are expired here — nothing older
-        than the horizon can be replayed, so the guard is no longer
-        needed."""
+    @staticmethod
+    def _delta_touched_buckets(meta: dict) -> list[int] | None:
+        """Union of the manifest's per-delta touched-bucket lists — the
+        base buckets a MAJOR fold must read. None when any delta entry
+        predates bucket tracking (legacy manifest): the safe fallback is
+        a full-table major, exactly the pre-subset behavior."""
+        out: set[int] = set()
+        for d in meta.get("deltas", []):
+            if not isinstance(d, dict) or "buckets" not in d:
+                return None
+            out.update(int(b) for b in d["buckets"])
+        return sorted(out)
+
+    def _compact(self, meta: dict, full: bool = False) -> dict:
+        """MAJOR compaction: fold the outstanding deltas into the base and
+        drop the delta list. SUBSET major (the default): only the base
+        buckets the deltas actually touch — recorded per delta at commit
+        time, no re-scan — are read and rewritten; untouched buckets are
+        carried forward by manifest reference, exactly as _merge_cow
+        already carries untouched buckets. LWW associativity makes the
+        subset fold exact: an untouched bucket has NO delta versions, so
+        max over (that bucket ∪ ∅) is the bucket unchanged. This makes
+        the recurring major cost O(touched base + backlog), not O(table)
+        — at 100 TB the difference between a runnable compaction cadence
+        and a full-table rewrite every compact_every*major_every batches.
+
+        Tombstones are RETAINED in the base by default (they guard
+        late-replayed older upserts); with `tombstone_horizon_lsn` set,
+        tombstones older than the source's replay horizon are expired
+        here. Under subset majors expiry is ON-TOUCH: only rewritten
+        buckets shed their expired tombstones — safe, because retention
+        is purely an optimization (an expired tombstone is never WRONG to
+        keep, it just occupies space until its bucket is next touched).
+
+        full=True (and any legacy manifest whose deltas predate bucket
+        tracking) folds every bucket — the pre-subset behavior, kept for
+        equivalence testing and as the migration fallback."""
         from pyspark.sql import Observation
 
         extra_cols = list(meta["extra_columns"])
-        full = self._read_all(meta, extra_cols)
+        touched = None if full else self._delta_touched_buckets(meta)
+        base, delta = self._read_split(meta, extra_cols, buckets=touched)
+        if base is None and delta is None:
+            fold_in = self.spark.createDataFrame(
+                [], self._row_schema(extra_cols)
+            ).drop(BUCKET_COL)
+        elif base is None:
+            fold_in = delta
+        elif delta is None:
+            fold_in = base
+        else:
+            fold_in = base.unionByName(delta, allowMissingColumns=True)
         # single-exchange fold (see resolve_lww_clustered): aggregation,
         # horizon filter, Observation, and the partitioned write below all
-        # run in one post-shuffle stage
+        # run in one post-shuffle stage; a subset fold sizes the exchange
+        # by the touched-bucket count, not the table's
+        n_parts = self.n_buckets if touched is None else max(len(touched), 1)
         merged = resolve_lww_clustered(
-            full.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)),
-            self.n_buckets,
+            fold_in.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)),
+            n_parts,
         )
         if self.tombstone_horizon_lsn is not None:
             merged = merged.filter(
@@ -1010,24 +1072,49 @@ class ParquetLake:
         out_dir = os.path.join(self.table_dir, data_rel)
         merged.write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
+        if not pairs:
+            # zero rows written (e.g. every touched row was an expired
+            # tombstone): drop the file-less dir rather than referencing it
+            shutil.rmtree(out_dir, ignore_errors=True)
 
-        new_buckets = {
-            b: os.path.join(data_rel, f"{BUCKET_COL}={b}")
-            for b in sorted({p["b"] for p in pairs})
-        }
         routes_by_bucket: dict[str, set] = {}
         for p in pairs:
             if p["r"] is not None:
                 routes_by_bucket.setdefault(p["b"], set()).add(p["r"])
+        written = {int(p["b"]) for p in pairs}
+        if touched is None:
+            # full fold: the new base is exactly what the fold wrote
+            new_buckets = {
+                str(b): os.path.join(data_rel, f"{BUCKET_COL}={b}")
+                for b in sorted(written)
+            }
+            bucket_routes = {
+                b: sorted(routes_by_bucket.get(b, set())) for b in new_buckets
+            }
+        else:
+            # subset fold: untouched buckets carry forward by reference;
+            # touched buckets repoint to the fresh fold output (or drop
+            # out entirely when the fold left them empty)
+            new_buckets = dict(meta["buckets"])
+            bucket_routes = dict(meta.get("bucket_routes", {}))
+            for b in sorted(set(touched) | written):
+                if b in written:
+                    new_buckets[str(b)] = os.path.join(
+                        data_rel, f"{BUCKET_COL}={b}"
+                    )
+                    bucket_routes[str(b)] = sorted(
+                        routes_by_bucket.get(str(b), set())
+                    )
+                else:
+                    new_buckets.pop(str(b), None)
+                    bucket_routes.pop(str(b), None)
         new_meta = {
             "id": meta["id"] + 1,
             "parent": meta["id"],
             "n_buckets": self.n_buckets,
             "extra_columns": extra_cols,
             "buckets": new_buckets,
-            "bucket_routes": {
-                b: sorted(routes_by_bucket.get(b, set())) for b in new_buckets
-            },
+            "bucket_routes": bucket_routes,
             "deltas": [],
             **{k: v for k, v in meta.items()
                if k in ("batch_wm", "recent_batch_ids", "batch_ids")},
@@ -1099,7 +1186,8 @@ class ParquetLake:
         return df
 
     def _read_split(
-        self, meta: dict, extra_cols: list[str], route: str | None = None
+        self, meta: dict, extra_cols: list[str], route: str | None = None,
+        buckets: list[int] | None = None,
     ):
         """(base, delta) DataFrames, either possibly None, both normalized
         to the full row schema. Base rows are UNIQUE per key (every base
@@ -1113,8 +1201,14 @@ class ParquetLake:
         manifest route list excludes X are skipped entirely (manifest
         pruning), and the route predicate on the rest lands in the scan's
         PartitionFilters (directory pruning) — other tenants' files are
-        never opened."""
+        never opened.
+
+        buckets=[...] restricts the BASE side to those key-hash buckets
+        (the subset-major fold's read: only buckets the deltas touch);
+        the delta side is never bucket-filtered here — a subset fold
+        consumes every outstanding delta whole."""
         bucket_routes = meta.get("bucket_routes", {})
+        bucket_set = None if buckets is None else {int(b) for b in buckets}
 
         def bucket_has_route(b: str) -> bool:
             if route is None:
@@ -1129,6 +1223,7 @@ class ParquetLake:
             os.path.join(self.table_dir, p)
             for b, p in meta["buckets"].items()
             if bucket_has_route(b)
+            and (bucket_set is None or int(b) in bucket_set)
         ]
         deltas = [
             d if isinstance(d, dict) else {"path": d, "format": "flat"}
@@ -1192,18 +1287,22 @@ class ParquetLake:
             return base
         return base.unionByName(delta, allowMissingColumns=True)
 
-    @staticmethod
-    def _tree_bytes(path: str) -> int:
-        """Total file bytes under a path (driver-side walk, bounded to the
-        files just written by the calling commit)."""
-        total = 0
-        for cur, _dirs, files in os.walk(path):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(cur, f))
-                except OSError:
-                    pass
-        return total
+    def _tree_bytes(self, path: str) -> int:
+        """Total file bytes under a path via the Hadoop FileSystem's
+        getContentSummary — ONE filesystem call whose recursion runs
+        inside the storage layer (a NameNode op on HDFS, a LIST on object
+        stores), replacing the driver-side os.walk that was the last
+        Python directory traversal in any commit path. Bounded to the
+        files the calling commit just wrote. Returns 0 for a missing path
+        (the zero-row-write case)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(jpath):
+            return 0
+        return int(fs.getContentSummary(jpath).getLength())
 
     def _delta_bytes(self, meta: dict, route: str | None = None) -> int:
         """Merge-relevant bytes of the outstanding deltas — only those a

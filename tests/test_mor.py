@@ -453,15 +453,30 @@ def test_manifest_records_routes_and_bytes(spark, tmp_path):
     (delta,) = mor.current_meta()["deltas"]
     assert delta["routes"] == ["t1", "t2"]  # ok routes only, sorted
     assert delta["bytes"] > 0
+
+    # independent verification walker (the engine itself uses the Hadoop
+    # FileSystem's getContentSummary — no os.walk in any commit path).
+    # Hidden files skipped: the local ChecksumFileSystem writes .crc
+    # sidecars that getContentSummary rightly excludes from data bytes.
+    def walk_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(cur, f))
+            for cur, _dirs, files in os.walk(path)
+            for f in files if not f.startswith(".")
+        )
+
     # manifest bytes == the ok partition's on-disk bytes, excluding the
     # dead-letter partition
-    ok_bytes = ParquetLake._tree_bytes(
+    ok_bytes = walk_bytes(
         os.path.join(mor.table_dir, delta["path"], "status=ok"))
-    all_bytes = ParquetLake._tree_bytes(
-        os.path.join(mor.table_dir, delta["path"]))
+    all_bytes = walk_bytes(os.path.join(mor.table_dir, delta["path"]))
     assert delta["bytes"] == ok_bytes < all_bytes
     # and read()'s switch consumes exactly the manifest sum
     assert mor._delta_bytes(mor.current_meta()) == ok_bytes
+    # the touched-bucket list is recorded for subset majors (one bucket
+    # per ok key here at most, never the dead letter)
+    assert 0 < len(delta["buckets"]) <= 2
+    assert all(0 <= b < mor.n_buckets for b in delta["buckets"])
 
 
 def test_obs_get_zero_row_write_guard(tmp_path):
@@ -509,3 +524,177 @@ def test_obs_get_zero_row_write_guard(tmp_path):
     with pytest.raises(ValueError, match="boom"):
         ParquetLake._obs_get(
             _Obs(exc=ValueError("boom")), str(tmp_path / "nope"), n=0)
+
+
+def _mk_rec_helpers():
+    import json
+
+    def rec(value, off):
+        return {"key": None, "value": value, "topic": "t", "partition": 0,
+                "offset": off}
+
+    def env(op, after=None, before=None, lsn=0):
+        p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn}}
+        if after is not None:
+            p["after"] = after
+        if before is not None:
+            p["before"] = before
+        return json.dumps({"payload": p})
+
+    def upsert(repo, path, lsn, content=None):
+        return rec(env("c", after={
+            "repo": repo, "path": path, "commit": f"c{lsn}", "lang": "py",
+            "content": content or f"v{lsn}"}, lsn=lsn), lsn)
+
+    def delete(repo, path, lsn):
+        return rec(env("d", before={"repo": repo, "path": path}, lsn=lsn), lsn)
+
+    return rec, upsert, delete
+
+
+def _buckets_of(spark, keys, n_buckets):
+    """key -> bucket map computed with the engine's own bucket function."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(keys, ["repo", "path"]).select(
+        "repo", "path",
+        F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets)).alias("b"),
+    )
+    return {(r["repo"], r["path"]): r["b"] for r in df.collect()}
+
+
+def test_subset_major_equals_full_major(spark, tmp_path):
+    """The round-5 headline: a MAJOR fold reads and rewrites ONLY the
+    buckets the outstanding deltas touch; untouched buckets are carried
+    forward by manifest reference. Final visible state must be identical
+    to a full-table major on the same batch sequence — including
+    dead-letter-only batches and horizon-expired tombstones — and the
+    subset lake's manifest must PROVE the carry-forward (bucket paths
+    spanning more than one snapshot tree), while major cost tracks
+    touched buckets, not the table."""
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    _rec, upsert, delete = _mk_rec_helpers()
+    n_buckets = 8
+    keys = [("org/r", f"src/f{i}.py") for i in range(40)]
+    kb = _buckets_of(spark, keys, n_buckets)
+    by_bucket = {}
+    for k, b in kb.items():
+        by_bucket.setdefault(b, []).append(k)
+    assert len(by_bucket) >= 4  # 40 keys over 8 buckets: spread is certain
+
+    # touched keys drawn from ONE bucket; the horizon-divergence tombstone
+    # key from a DIFFERENT bucket that no later batch touches
+    touched_bucket, untouched_bucket = sorted(by_bucket)[0], sorted(by_bucket)[1]
+    tk = by_bucket[touched_bucket]  # keys in the bucket later batches touch
+    assert len(tk) >= 3
+    tomb_key = by_bucket[untouched_bucket][0]
+
+    def feed(lake, bid, recs_):
+        process_batch(
+            spark.createDataFrame(recs_, schema=KAFKA_SHAPE), bid, lake)
+
+    def run(table_dir, full_major):
+        lake = ParquetLake(
+            spark, table_dir, n_buckets=n_buckets, mode="mor",
+            compact_every=2, major_every=2, tombstone_horizon_lsn=100,
+            full_major=full_major,
+        )
+        # b0: every key v1 (lsn 1..40); b1: tombstone for tomb_key at
+        # lsn 900 (newer than horizon 100 => retained by MAJOR #1)
+        feed(lake, 0, [upsert(r, p, 1 + i) for i, (r, p) in enumerate(keys)])
+        feed(lake, 1, [delete(*tomb_key, 900)])
+        # MAJOR #1 ran (no base before it): base exists, deltas empty
+        m = lake.current_meta()
+        assert m["buckets"] and m["deltas"] == []
+        base_after_major1 = dict(m["buckets"])
+
+        # horizon advances (source retention moved on): tombstones with
+        # lsn < 1000 are now expirable — but only where a fold touches
+        lake.tombstone_horizon_lsn = 1000
+
+        # b2+b3 -> MINOR #1; b4+b5 -> MAJOR #2, touching ONLY touched_bucket
+        feed(lake, 2, [upsert(*tk[0], 2000), delete(*tk[1], 2100)])
+        feed(lake, 3, [_rec('{"payload": {broken', 10), _rec("", 11)])
+        feed(lake, 4, [upsert(*tk[2], 2200)])
+        feed(lake, 5, [upsert(*tk[0], 2300)])
+        m = lake.current_meta()
+        assert m["deltas"] == [] and m.get("minor_count", 0) == 0  # MAJOR ran
+        return lake, base_after_major1
+
+    sub, sub_base1 = run(str(tmp_path / "subset"), full_major=False)
+    ful, _ = run(str(tmp_path / "full"), full_major=True)
+
+    # 1) visible state identical
+    assert _rows(sub) == _rows(ful)
+    state = _rows(sub)
+    assert state[tk[0]]["content"] == "v2300"
+    assert state[tk[2]]["content"] == "v2200"
+    assert tk[1] not in state and tomb_key not in state
+
+    # 2) manifest proof of carry-forward: the subset lake's untouched
+    # buckets still point at the MAJOR-#1 tree; the full lake rewrote all
+    sub_meta, ful_meta = sub.current_meta(), ful.current_meta()
+    sub_parents = {p.split(os.sep + "__bucket=", 1)[0]
+                   for p in sub_meta["buckets"].values()}
+    ful_parents = {p.split(os.sep + "__bucket=", 1)[0]
+                   for p in ful_meta["buckets"].values()}
+    assert len(ful_parents) == 1          # full major: one fresh tree
+    assert len(sub_parents) == 2          # subset: old tree + fold output
+    assert sub_meta["buckets"][str(untouched_bucket)] == \
+        sub_base1[str(untouched_bucket)]  # byte-identical carry-forward
+    assert sub_meta["buckets"][str(touched_bucket)] != \
+        sub_base1[str(touched_bucket)]    # touched bucket repointed
+
+    # 3) expire-on-touch: the full lake dropped tomb_key's now-expirable
+    # tombstone everywhere; the subset lake retains it in the untouched
+    # bucket (safe: never visible, just space until next touch)
+    def tombs(lake):
+        return {
+            (r["repo"], r["path"])
+            for r in lake.read(include_deleted=True, include_internal=True)
+            .filter("__deleted").collect()
+        }
+    assert tomb_key in tombs(sub)
+    assert tomb_key not in tombs(ful)
+    # tk[1]'s tombstone (lsn 2100 >= 1000) is retained by BOTH
+    assert tk[1] in tombs(sub) and tk[1] in tombs(ful)
+
+    # 4) both lakes keep working identically afterwards
+    for lake in (sub, ful):
+        feed(lake, 6, [upsert("org/r", "src/f1.py", 3000, "v3000")])
+    assert _rows(sub) == _rows(ful)
+
+
+def test_subset_major_all_dead_letter_backlog_skips_base(spark, tmp_path):
+    """A MAJOR fold over a backlog with ZERO ok rows must not read or
+    rewrite ANY base bucket: the manifest's bucket paths stay
+    byte-identical (pure carry-forward) and the read is unchanged. This
+    is the O(touched)=O(0) extreme of the subset major."""
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    _rec, upsert, _delete = _mk_rec_helpers()
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=2, major_every=1)
+
+    def feed(bid, recs_):
+        process_batch(
+            spark.createDataFrame(recs_, schema=KAFKA_SHAPE), bid, lake)
+
+    feed(0, [upsert("r0", "a", 1)])
+    feed(1, [upsert("r0", "b", 2)])  # MAJOR #1: base created
+    base1 = dict(lake.current_meta()["buckets"])
+    state1 = _rows(lake)
+
+    bad = [_rec('{"payload": {broken', 10), _rec("", 11)]
+    feed(2, bad)
+    feed(3, bad)  # MAJOR #2 over an all-dead-letter backlog
+    m = lake.current_meta()
+    assert m["deltas"] == []
+    assert m["buckets"] == base1  # base untouched, carried by reference
+    assert _rows(lake) == state1
+
+    feed(4, [upsert("r1", "c", 20)])
+    assert ("r1", "c") in _rows(lake)

@@ -88,13 +88,17 @@ def _record(ev, offset):
             "partition": 0, "offset": offset}
 
 
-def _engine_state(spark, tmp_dir, batches, tombstone_horizon_lsn=None):
+def _engine_state(spark, tmp_dir, batches, tombstone_horizon_lsn=None,
+                  full_major=False):
     # compact_every=2 + major_every=2 exercises BOTH compaction tiers
     # (major on the first fold, minor on the next) and the broadcast MoR
-    # read path under arbitrary event interleavings and batch splits
+    # read path under arbitrary event interleavings and batch splits;
+    # full_major toggles subset vs full-table MAJOR folds so hypothesis
+    # explores touched/untouched bucket interleavings on both paths
     lake = ParquetLake(
         spark, tmp_dir, n_buckets=4, mode="mor", compact_every=2,
         major_every=2, tombstone_horizon_lsn=tombstone_horizon_lsn,
+        full_major=full_major,
     )
     for i, batch in enumerate(batches):
         df = spark.createDataFrame(batch, schema=KAFKA_SHAPE)
@@ -167,8 +171,10 @@ def test_tombstone_horizon_interleavings_match_oracle(
         if recs[prev:c]:
             batches.append(recs[prev:c])
         prev = c
+    full_major = data.draw(st.booleans(), label="full_major")
     tmp = str(tmp_path_factory.mktemp("prop_lake"))
-    got = _engine_state(spark, tmp, batches, tombstone_horizon_lsn=20)
+    got = _engine_state(spark, tmp, batches, tombstone_horizon_lsn=20,
+                        full_major=full_major)
     _assert_matches_oracle(got, recs)
 
 
