@@ -164,3 +164,39 @@ def change_feed(parsed: DataFrame, state_ttl_ms: int | None = None) -> DataFrame
         "append",
         timeout,
     )
+
+
+def start_change_feed(
+    parsed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start the net-effect feed as a parquet-sink streaming query.
+
+    Guard (Spark 4.1 caveat, see module docstring): ProcessingTimeTimeout
+    keeps scheduling state-cleanup batches while ANY timer is registered,
+    so a trigger(availableNow=True) query with state_ttl_ms set never
+    drains — it hangs, silently. Refuse the combination loudly instead;
+    a TTL'd feed is a continuous tail and must use a processing-time
+    trigger (or no trigger)."""
+    if state_ttl_ms is not None and available_now:
+        raise ValueError(
+            "state_ttl_ms cannot be combined with an availableNow trigger: "
+            "ProcessingTimeTimeout keeps scheduling state-cleanup batches "
+            "while any timer is registered, so the query never drains "
+            "(observed on Spark 4.1). Run the TTL'd feed as a continuous "
+            "tail (available_now=False, optionally processing_time='30 "
+            "seconds'), or drop state_ttl_ms for drain-and-stop replays."
+        )
+    feed = change_feed(parsed, state_ttl_ms=state_ttl_ms)
+    writer = feed.writeStream.format("parquet").option(
+        "path", out_dir
+    ).option("checkpointLocation", checkpoint_dir).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -244,3 +244,34 @@ def test_advance_rearms_ttl_on_duplicate_and_empty():
     list(_advance(("r", "p"), [slice_for(5)], st2, ttl_ms=None))
     list(_advance(("r", "p"), [slice_for(5)], st2, ttl_ms=None))
     assert st2.timeout_set == []
+
+
+def test_start_change_feed_refuses_ttl_with_available_now(spark, tmp_path):
+    """Spark 4.1 caveat guard: state_ttl_ms + trigger(availableNow) makes
+    the query schedule cleanup batches forever (never drains). The helper
+    must refuse the combination with a clear error instead of hanging —
+    and accept the valid shapes."""
+    import pytest
+
+    from pyspark_cdc.changefeed import start_change_feed
+    from pyspark_cdc.sources import file_stream
+
+    log_dir = str(tmp_path / "log")
+    _write_batch(log_dir, 0, [(_env("c", after=_row("r", "p", 1), lsn=1), 1)],
+                 mtime=time.time())
+    parsed = parse_envelopes(file_stream(spark, log_dir, 1))
+
+    with pytest.raises(ValueError, match="availableNow"):
+        start_change_feed(
+            parsed, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            state_ttl_ms=60_000, available_now=True,
+        )
+
+    # the valid drain-and-stop shape (no TTL) still runs end to end
+    q = start_change_feed(
+        parsed, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 1 and out.collect()[0]["change"] == "upsert"
