@@ -133,16 +133,20 @@ def jvm_probe(spark, n: int = 30_000_000) -> dict:
         256,
     )
     df.limit(1_000_000).select(F.max(expr)).collect()  # JIT warm-up
-    # First rep small: in a storm window one 30M-row rep costs 200+ s, so
-    # size the remaining reps down to keep the probe itself bounded.
-    rates = [_jvm_rate(spark, 5_000_000)]
-    rep_n = n if rates[0] >= STORM_MROWS else 5_000_000
-    for _ in range(2):  # contention is BURSTY (measured 3.4x swing in 2 min)
-        rates.append(_jvm_rate(spark, rep_n))
-    rates.sort()
+    # A small SIZING rep first: in a storm window one 30M-row rep costs
+    # 200+ s, so it decides the measured reps' size — but it is reported
+    # SEPARATELY, never mixed into the median/min-max (a 5M rep carries
+    # proportionally more per-task overhead at 256 partitions and would
+    # skew the stamp low vs prior rounds' 3x30M stamps).
+    sizing = _jvm_rate(spark, 5_000_000)
+    rep_n = n if sizing >= STORM_MROWS else 5_000_000
+    # contention is BURSTY (measured 3.4x swing in 2 min) => 3 reps
+    rates = sorted(_jvm_rate(spark, rep_n) for _ in range(3))
     return {
         "jvm_probe_mrows_per_sec": round(rates[1], 2),
         "jvm_probe_mrows_min_max": [round(rates[0], 2), round(rates[-1], 2)],
+        "jvm_probe_sizing_rep": round(sizing, 2),
+        "jvm_probe_rep_rows": rep_n,
     }
 
 

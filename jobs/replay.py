@@ -31,6 +31,16 @@ def _jvm_stamp(spark) -> float:
     (BENCH/BASELINE.md, 2026-08-18 incident), and a leg whose stamps are
     depressed measured the host, not the engine. Never part of any
     reported wall.
+
+    NOT apples-to-apples with bench.py's probe numbers: this stamp runs
+    5M rows over 64 partitions inside a 4–16-core local-cluster leg,
+    while bench.py's probe runs 30M rows over 256 partitions on
+    local[32] — so the bench-calibrated "clean" band (7.5–25.5 Mrows/s)
+    does NOT apply here. Compare leg stamps only against OTHER leg
+    stamps at the SAME parallelism (per-leg-config clean bands, measured
+    across the committed run sets: 1N ≈ 1.3–2.0, 2N ≈ 2.5–3.8,
+    4N ≈ 4.5–7.5 Mrows/s); their job is relative — flagging a leg whose
+    window was depressed vs its siblings — not absolute calibration.
     """
     from pyspark.sql import functions as F
 

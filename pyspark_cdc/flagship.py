@@ -25,6 +25,7 @@ def _cached_lake(
     log_dir: str,
     n_buckets: int,
     route_from_fields: bool = False,
+    minhash_bands: bool = False,
 ):
     """Build-once-per-process lake over a pure-Python log: first call
     replays the log into a kept tempdir, later calls reopen it."""
@@ -35,7 +36,7 @@ def _cached_lake(
         lake_root = tempfile.mkdtemp(prefix=f"pyspark_cdc_{cache_key}_lake_")
         lake = ParquetLake(
             spark, os.path.join(lake_root, "lake"), n_buckets=n_buckets,
-            mode="mor",
+            mode="mor", minhash_bands=minhash_bands,
         )
         replay_batch(
             spark, log_dir, lake, route_from_fields=route_from_fields
@@ -44,12 +45,19 @@ def _cached_lake(
         return lake
     return ParquetLake(
         spark, os.path.join(_CACHE[cache_key], "lake"), n_buckets=n_buckets,
-        mode="mor",
+        mode="mor", minhash_bands=minhash_bands,
     )
 
 
 def flagship_lake(spark: SparkSession):
-    return _cached_lake(spark, "flagship", ensure_flagship_log(), n_buckets=16)
+    # minhash_bands: the flagship lake carries ingest-time dedup
+    # signatures (queries/dedup.dedup_lake_signatures oracles them);
+    # read() hides the columns by default, so every other flagship row
+    # is unchanged.
+    return _cached_lake(
+        spark, "flagship", ensure_flagship_log(), n_buckets=16,
+        minhash_bands=True,
+    )
 
 
 def fieldroute_lake(spark: SparkSession):

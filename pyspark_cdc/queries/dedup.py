@@ -415,6 +415,62 @@ WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.5
 """
 
 
+# --- incremental dedup over the CDC lake (signatures computed at ingest) ---------
+
+
+def dedup_lake_signatures(spark, sf_dir):
+    """Incremental dedup over the flagship CDC lake's FINAL STATE: the
+    LSH band signatures were computed once per ingested row version
+    (signatures.with_band_columns riding the MoR flatten/fold) and stored
+    as lake columns; this query only STACKS the stored columns into
+    (key, band_idx, band_hash) — NO shingling, no text re-scan, O(final
+    rows). The DuckDB oracle independently replays the log to final
+    state and recomputes the bands from content, so a hash match proves
+    the incremental (at-ingest) signatures equal a from-scratch
+    computation — the core incremental-dedup claim, driver-checked.
+    Candidate near-dup pairs are then a plain equi-join on
+    (band_idx, band_hash), exactly dedup_minhash_lsh's join shape."""
+    from ..flagship import flagship_lake
+
+    df = flagship_lake(spark).read(keep_signatures=True)
+    return df.selectExpr(
+        "repo", "path",
+        "stack(4, 0, `__mh_band0`, 1, `__mh_band1`, 2, `__mh_band2`,"
+        " 3, `__mh_band3`) AS (band_idx, band_hash)",
+    )
+
+
+def _sql_lake_signatures() -> str:
+    from ..signatures import N_BANDS, N_MINHASH, band_sql, minhash_sql, shingles_sql
+    from .engine import _oracle_ready, _replay_sql
+
+    mh_exprs = ",\n         ".join(
+        f"{minhash_sql('sh', k)} AS mh{k}" for k in range(N_MINHASH)
+    )
+    band_exprs = ",\n         ".join(
+        "CASE WHEN content IS NULL THEN NULL ELSE "
+        f"{band_sql(f'mh{2 * b}', f'mh{2 * b + 1}')} END AS band{b}"
+        for b in range(N_BANDS)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT repo, path, {b} AS band_idx, band{b} AS band_hash FROM bands"
+        for b in range(N_BANDS)
+    )
+    # extends _replay_sql's WITH chain past the `final` CTE
+    return _oracle_ready(_replay_sql(f""", sh AS (
+  SELECT repo, path, content, {shingles_sql('content')} AS sh FROM final
+), mh AS (
+  SELECT repo, path, content,
+         {mh_exprs}
+  FROM sh
+), bands AS (
+  SELECT repo, path,
+         {band_exprs}
+  FROM mh
+)
+{unions}"""))
+
+
 # --- connected components over the near-dup pair graph ---------------------------
 
 
@@ -496,6 +552,7 @@ SELECT u AS doc_id, min(label) AS component_id FROM walk GROUP BY u
 
 QUERIES = {
     "dedup_exact": (dedup_exact, SQL_EXACT),
+    "dedup_lake_signatures": (dedup_lake_signatures, _sql_lake_signatures()),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_bands()),
     "dedup_components": (dedup_components, _sql_components()),
     "dedup_simhash": (dedup_simhash, _sql_simhash()),

@@ -21,13 +21,15 @@ def _toks():
     return F.split(F.col("text"), " ")
 
 
-# --- token counting + quality scoring (one driver row, both operators) ------
+# --- token counting + quality scoring + language ID (one driver row) --------
 
 
 def text_quality_score(spark, sf_dir):
-    """Token counting (whitespace + BPE-ish regex) AND quality scoring
-    (stopword ratio, avg token length, char length) in one row — the two
-    operators share the tokenization and a row per document."""
+    """Token counting (whitespace + BPE-ish regex), quality scoring
+    (stopword ratio, avg token length, char length) AND the
+    stopword-heuristic language ID in one row — all three operators
+    share the tokenization and a row per document (the q3b/token-count
+    fold precedent; every metric keeps its oracle evidence)."""
     toks = _toks()
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -36,6 +38,9 @@ def text_quality_score(spark, sf_dir):
         (F.length("text") - (n_tok - 1)).cast("double") / n_tok, 4
     )
     bpe = F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+    lang_pred = F.when(
+        n_stop.cast("double") / n_tok > 0.02, F.lit("en")
+    ).otherwise(F.lit("und"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -44,6 +49,8 @@ def text_quality_score(spark, sf_dir):
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stop_ratio"),
         avg_tok_len.alias("avg_token_len"),
+        lang_pred.alias("lang_pred"),
+        F.col("lang").alias("lang_true"),
     )
 
 
@@ -56,27 +63,7 @@ SELECT doc_id,
        round(CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
              / len(string_split(text, ' ')), 4) AS stop_ratio,
        round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS avg_token_len
-FROM documents
-"""
-
-
-# --- language ID (n-gram/stopword heuristic) ---------------------------------
-
-
-def text_langid(spark, sf_dir):
-    toks = _toks()
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
-        "double"
-    ) / F.size(toks)
-    pred = F.when(stop_ratio > 0.02, F.lit("en")).otherwise(F.lit("und"))
-    return _docs(spark, sf_dir).select(
-        "doc_id", pred.alias("lang_pred"), F.col("lang").alias("lang_true")
-    )
-
-
-SQL_LANGID = f"""
-SELECT doc_id,
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
        CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
                  / len(string_split(text, ' ')) > 0.02
             THEN 'en' ELSE 'und' END AS lang_pred,
@@ -107,6 +94,5 @@ FROM documents GROUP BY 1
 
 QUERIES = {
     "text_quality_score": (text_quality_score, SQL_QUALITY),
-    "text_langid": (text_langid, SQL_LANGID),
     "text_fingerprint": (text_fingerprint, SQL_FINGERPRINT),
 }

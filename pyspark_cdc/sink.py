@@ -60,6 +60,7 @@ from pyspark.sql import types as T
 from .order import ORD_COLS
 from .schemas import (DELETED_COL, DOMAIN_COLS, INTERNAL_COLS, KEY_COLS,
                       LSN_COL, OFFSET_COL, TS_COL, TX_COL)
+from .signatures import SIG_COLS, with_band_columns
 
 BUCKET_COL = "__bucket"
 # Routing identity (SURVEY.md P8/Q11): the per-record index identity of
@@ -86,7 +87,9 @@ INTERNAL = INTERNAL_COLS
 # merge/read raise AMBIGUOUS_REFERENCE, bricking the table until the
 # manifest is hand-edited. Such keys stay in the extras map (parsed
 # deltas keep the raw map) but are not materialized.
-RESERVED_COLS = frozenset([*INTERNAL_COLS, BUCKET_COL, ROUTE_COL, *DOMAIN_COLS])
+RESERVED_COLS = frozenset(
+    [*INTERNAL_COLS, BUCKET_COL, ROUTE_COL, *DOMAIN_COLS, *SIG_COLS]
+)
 # out-of-order applied-batch-id window kept above the watermark
 RECENT_BATCH_WINDOW = 1024
 # snapshots kept by expire_snapshots (time-travel horizon)
@@ -212,6 +215,7 @@ class ParquetLake:
         broadcast_delta_bytes: int = 32 * 1024 * 1024,
         major_every: int = 4,
         full_major: bool = False,
+        minhash_bands: bool = False,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -233,6 +237,14 @@ class ParquetLake:
         # base (the pre-subset behavior) — kept for the subset≡full
         # equivalence tests and as an operational escape hatch.
         self.full_major = full_major
+        # minhash_bands=True materializes the incremental-dedup LSH band
+        # signature columns (signatures.SIG_COLS) on every row version as
+        # it is flattened into the lake — computed once per ingested
+        # version, carried through LWW like any payload column. A
+        # CREATE-time table property like n_buckets: mixed-writer tables
+        # (some rows signed, some not) would break incremental==scratch,
+        # so reopening adopts the manifest's value.
+        self.minhash_bands = minhash_bands
         # MoR read strategy switch: when the outstanding deltas are at most
         # this many parquet bytes, read() resolves them with a BROADCAST
         # key-set join against the base (scan-only, no table-wide shuffle);
@@ -254,6 +266,8 @@ class ParquetLake:
         existing = self.current_meta()
         if existing is not None and existing.get("n_buckets"):
             self.n_buckets = existing["n_buckets"]
+        if existing is not None and "minhash_bands" in existing:
+            self.minhash_bands = existing["minhash_bands"]
 
     # ---------------- metadata ----------------
 
@@ -304,6 +318,7 @@ class ParquetLake:
             "id": 0,
             "parent": None,
             "n_buckets": self.n_buckets,
+            "minhash_bands": self.minhash_bands,
             "extra_columns": [],
             "buckets": {},
             "deltas": [],
@@ -388,6 +403,8 @@ class ParquetLake:
         fields = [T.StructField(c, T.StringType(), True) for c in DOMAIN_COLS]
         fields += [T.StructField(ROUTE_COL, T.StringType(), True)]
         fields += [T.StructField(c, T.StringType(), True) for c in extra_cols]
+        if self.minhash_bands:
+            fields += [T.StructField(c, T.StringType(), True) for c in SIG_COLS]
         fields += [
             T.StructField(LSN_COL, T.LongType(), True),
             T.StructField(TX_COL, T.LongType(), True),
@@ -578,6 +595,10 @@ class ParquetLake:
             src_flat = src_flat.withColumn(
                 c, F.when(F.col(DELETED_COL), F.lit(None).cast("string")).otherwise(F.col(c))
             )
+        if self.minhash_bands:
+            # incremental dedup: LSH band signatures computed ONCE here,
+            # as this version enters the lake (null content => null sig)
+            src_flat = with_band_columns(src_flat)
 
         stats = {
             "status": "committed",
@@ -671,6 +692,7 @@ class ParquetLake:
             "id": meta["id"] + 1,
             "parent": meta["id"],
             "n_buckets": self.n_buckets,
+            "minhash_bands": self.minhash_bands,
             "extra_columns": extra_cols,
             "buckets": new_buckets,
             "bucket_routes": bucket_routes,
@@ -714,6 +736,7 @@ class ParquetLake:
             "id": meta["id"] + 1,
             "parent": meta["id"],
             "n_buckets": self.n_buckets,
+            "minhash_bands": self.minhash_bands,
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
             "bucket_routes": dict(meta.get("bucket_routes", {})),
@@ -831,6 +854,7 @@ class ParquetLake:
             "id": meta["id"] + 1,
             "parent": meta["id"],
             "n_buckets": self.n_buckets,
+            "minhash_bands": self.minhash_bands,
             "extra_columns": extra_cols,
             "buckets": dict(meta["buckets"]),
             "bucket_routes": dict(meta.get("bucket_routes", {})),
@@ -881,7 +905,7 @@ class ParquetLake:
             col = F.col(c) if isinstance(c, str) else c
             return F.when(deleted, F.lit(None).cast("string")).otherwise(col).alias(name)
 
-        return df.select(
+        out = df.select(
             *KEY_COLS,
             *[payload(c, c) for c in DOMAIN_COLS if c not in KEY_COLS],
             F.col(ROUTE_COL),
@@ -892,6 +916,12 @@ class ParquetLake:
             F.col(OFFSET_COL),
             deleted.alias(DELETED_COL),
         )
+        if self.minhash_bands:
+            # parsed deltas stay raw until flattened (at read/compaction):
+            # this is where their versions' dedup signatures materialize —
+            # once per version, O(backlog) per fold, never O(table)
+            out = with_band_columns(out)
+        return out
 
     @staticmethod
     def _raw_delta_count(meta: dict) -> int:
@@ -1112,6 +1142,7 @@ class ParquetLake:
             "id": meta["id"] + 1,
             "parent": meta["id"],
             "n_buckets": self.n_buckets,
+            "minhash_bands": self.minhash_bands,
             "extra_columns": extra_cols,
             "buckets": new_buckets,
             "bucket_routes": bucket_routes,
@@ -1176,11 +1207,12 @@ class ParquetLake:
         return {"removed_snapshots": removed_snaps, "removed_dirs": removed_dirs}
 
     def _normalize_rows(self, df: DataFrame, extra_cols: list[str]) -> DataFrame:
-        """Full row schema: bucket dropped, every route/extra column
-        present."""
+        """Full row schema: bucket dropped, every route/extra (and, when
+        the table carries them, signature) column present."""
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
-        for c in [ROUTE_COL, *extra_cols]:
+        sig = SIG_COLS if self.minhash_bands else []
+        for c in [ROUTE_COL, *extra_cols, *sig]:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df
@@ -1374,6 +1406,7 @@ class ParquetLake:
         include_internal: bool = False,
         snapshot_id: int | None = None,
         route: str | None = None,
+        keep_signatures: bool = False,
     ) -> DataFrame:
         """Final table state; snapshot_id time-travels to any snapshot the
         retention window still holds (Iceberg VERSION AS OF analog —
@@ -1421,6 +1454,8 @@ class ParquetLake:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_internal:
             df = df.drop(*INTERNAL)
+        if not keep_signatures:
+            df = df.drop(*SIG_COLS)  # no-op on unsigned tables
         return df
 
     def destroy(self) -> None:

@@ -19,15 +19,19 @@ N_KEYS="${3:-1600000}"
 WORK="${SCALE_BENCH_WORK:-/tmp/pyspark_cdc_scale}"
 mkdir -p "$WORK"
 
+# log dir keyed on the requested size: a reused log of a DIFFERENT
+# n_events/n_keys would silently benchmark stale data (round-4 advice)
+LOG="$WORK/log_${N_EVENTS}_${N_KEYS}"
+
 zip -qr "$WORK/pyspark_cdc.zip" pyspark_cdc
 
-[ -d "$WORK/log" ] || python - <<EOF
+[ -d "$LOG" ] || python - <<EOF
 from pyspark.sql import SparkSession
 from pyspark_cdc import generate
 spark = (SparkSession.builder.master("local[32]").appName("gen")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false").getOrCreate())
-generate.write_log(spark, "$WORK/log", n_events=$N_EVENTS, n_keys=$N_KEYS,
+generate.write_log(spark, "$LOG", n_events=$N_EVENTS, n_keys=$N_KEYS,
                    n_files=256, hot_pct=30, include_edge_cases=False)
 spark.stop()
 EOF
@@ -46,7 +50,7 @@ run() {  # run <n_executors> <tag>
     --conf spark.sql.files.maxPartitionBytes=4194304 \
     --conf spark.ui.enabled=false \
     --py-files "$WORK/pyspark_cdc.zip" \
-    jobs/replay.py --log-dir "$WORK/log" --table-dir "$WORK/lake_$tag" \
+    jobs/replay.py --log-dir "$LOG" --table-dir "$WORK/lake_$tag" \
     --mode stream --checkpoint "$WORK/ckpt_$tag" \
     --metrics-dir "$WORK/metrics_$tag" \
     --max-files-per-trigger 32 --n-buckets 64 --probe-stamps \
