@@ -23,6 +23,8 @@ import re
 import statistics
 
 BENCH = os.path.join(os.path.dirname(__file__), "..", "BENCH", "scale_sweeps_r04")
+BENCH_R05 = os.path.join(
+    os.path.dirname(__file__), "..", "BENCH", "scale_sweeps_r05")
 BATCH_EVENTS = 2_000_000
 WARMUP = 2  # first 2 batches absorb JVM class-load + JIT
 
@@ -40,8 +42,10 @@ def legs(path: str) -> list[tuple[int, float]]:
 
 def main() -> None:
     eff4s = []
-    files = sorted(glob.glob(os.path.join(BENCH, "sweep*.out"))) + sorted(
-        glob.glob(os.path.join(BENCH, "set*.out"))
+    files = (
+        sorted(glob.glob(os.path.join(BENCH, "sweep*.out")))
+        + sorted(glob.glob(os.path.join(BENCH, "set*.out")))
+        + sorted(glob.glob(os.path.join(BENCH_R05, "set*.out")))
     )
     for f in files:
         rows = legs(f)
