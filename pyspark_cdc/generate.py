@@ -414,6 +414,7 @@ def bulk_events_df(
     n_repos: int = 50,
     n_partitions: int = 8,
     content_repeats: int = 8,
+    content_words: int = 1,
     evolve_after_frac: float = 0.6,
 ) -> DataFrame:
     """Distributed event synthesis: pure column expressions over spark.range.
@@ -474,6 +475,24 @@ def bulk_events_df(
         F.lit(" v"), lsn.cast("string"), F.lit(" "),
         F.repeat(md, content_repeats),
     )
+    if content_words > 1:
+        # document-shaped content for dedup/shingling benchmarks: append
+        # content_words extra whitespace-separated deterministic tokens,
+        # distinct per position so the shingle set is realistic (default
+        # 1 keeps the historical single-blob shape byte-exact)
+        content = F.concat(
+            content,
+            F.lit(" "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(content_words)),
+                    lambda i: F.concat(
+                        F.lit("w"), F.substring(md, 1, 4), i.cast("string")
+                    ),
+                ),
+            ),
+        )
 
     evolve = i >= F.lit(int(n_events * evolve_after_frac))
     branch = F.when(

@@ -83,6 +83,47 @@ def with_band_columns(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.drop("__sig_w", "__sig_sh")
 
 
+def fill_band_columns(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Sign only the rows that NEED it: the post-LWW signing step.
+
+    A fold/read winner that came from a signed base (or a signed merged
+    delta) keeps its stored signature untouched; a winner that arrived
+    from a raw delta (null band0 + non-null content) is signed HERE, once,
+    AFTER its losing sibling versions were discarded by the aggregate. At
+    ~V versions per key this is a ~V-fold cut over signing every version
+    pre-aggregate, with the identical result — a signature is a pure
+    function of the row's content, and only the winning row's content
+    survives. The per-row CASE gates the split/shingle temp columns too,
+    so already-signed rows pay ~nothing. Missing signature columns (first
+    fold of a fresh table) are treated as all-null.
+
+    Invariant relied on: content IS NOT NULL implies band0 null <=> the
+    row is unsigned (both writers set all four bands together, and only
+    for non-null content)."""
+    for c in SIG_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    # materialize the predicate FIRST: the per-band withColumns below
+    # rewrite band0, so an expression re-resolving band0 by name would
+    # flip to false after the first band is filled
+    df = df.withColumn(
+        "__sig_need",
+        F.col(SIG_COLS[0]).isNull() & F.col(content_col).isNotNull(),
+    )
+    need = F.col("__sig_need")
+    df = df.withColumn("__sig_w", F.when(need, F.split(F.col(content_col), " ")))
+    df = df.withColumn("__sig_sh", F.when(need, _shingles(F.col("__sig_w"))))
+    mh = [_minhash(F.col("__sig_sh"), k) for k in range(N_MINHASH)]
+    for b in range(N_BANDS):
+        df = df.withColumn(
+            SIG_COLS[b],
+            F.when(
+                need, F.md5(F.concat_ws("_", mh[2 * b], mh[2 * b + 1]))
+            ).otherwise(F.col(SIG_COLS[b])),
+        )
+    return df.drop("__sig_need", "__sig_w", "__sig_sh")
+
+
 # --- DuckDB oracle fragments (mirror queries/dedup.py's portable hashing) ---
 
 

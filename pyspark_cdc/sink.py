@@ -60,7 +60,7 @@ from pyspark.sql import types as T
 from .order import ORD_COLS
 from .schemas import (DELETED_COL, DOMAIN_COLS, INTERNAL_COLS, KEY_COLS,
                       LSN_COL, OFFSET_COL, TS_COL, TX_COL)
-from .signatures import SIG_COLS, with_band_columns
+from .signatures import SIG_COLS, fill_band_columns
 
 BUCKET_COL = "__bucket"
 # Routing identity (SURVEY.md P8/Q11): the per-record index identity of
@@ -238,12 +238,14 @@ class ParquetLake:
         # equivalence tests and as an operational escape hatch.
         self.full_major = full_major
         # minhash_bands=True materializes the incremental-dedup LSH band
-        # signature columns (signatures.SIG_COLS) on every row version as
-        # it is flattened into the lake — computed once per ingested
-        # version, carried through LWW like any payload column. A
-        # CREATE-time table property like n_buckets: mixed-writer tables
-        # (some rows signed, some not) would break incremental==scratch,
-        # so reopening adopts the manifest's value.
+        # signature columns (signatures.SIG_COLS) on every row version
+        # that WINS a fold or read (fill_band_columns after each LWW
+        # resolve) — losing versions never pay the shingle cost, and a
+        # winner is signed exactly once, its signature then carried
+        # through later folds like any payload column. A CREATE-time
+        # table property like n_buckets: mixed-writer tables (some rows
+        # signed, some not) would break incremental==scratch, so
+        # reopening adopts the manifest's value.
         self.minhash_bands = minhash_bands
         # MoR read strategy switch: when the outstanding deltas are at most
         # this many parquet bytes, read() resolves them with a BROADCAST
@@ -595,10 +597,9 @@ class ParquetLake:
             src_flat = src_flat.withColumn(
                 c, F.when(F.col(DELETED_COL), F.lit(None).cast("string")).otherwise(F.col(c))
             )
-        if self.minhash_bands:
-            # incremental dedup: LSH band signatures computed ONCE here,
-            # as this version enters the lake (null content => null sig)
-            src_flat = with_band_columns(src_flat)
+        # minhash_bands: signatures are NOT computed here — the post-LWW
+        # fill (fill_band_columns, applied after every resolve) signs only
+        # the rows that win, so losing versions never pay the shingle cost.
 
         stats = {
             "status": "committed",
@@ -642,6 +643,11 @@ class ParquetLake:
         # leaves, and no partial-agg pass — base rows are one-per-key, so
         # map-side combining never reduces anything here).
         merged = resolve_lww_clustered(tgt, max(len(touched), 1))
+        if self.minhash_bands:
+            # post-LWW signing: only unsigned winners (new versions that
+            # beat their base row) pay the shingle cost — same stage as
+            # the write, no extra exchange
+            merged = fill_band_columns(merged)
 
         data_rel = os.path.join("data", f"s{meta['id'] + 1}")
         out_dir = os.path.join(self.table_dir, data_rel)
@@ -916,11 +922,10 @@ class ParquetLake:
             F.col(OFFSET_COL),
             deleted.alias(DELETED_COL),
         )
-        if self.minhash_bands:
-            # parsed deltas stay raw until flattened (at read/compaction):
-            # this is where their versions' dedup signatures materialize —
-            # once per version, O(backlog) per fold, never O(table)
-            out = with_band_columns(out)
+        # minhash_bands: flattened versions stay UNSIGNED (null sig
+        # columns via _normalize_rows) — the post-LWW fill_band_columns
+        # signs only the versions that WIN a fold/read, so a raw backlog's
+        # losing versions never pay the shingle cost
         return out
 
     @staticmethod
@@ -966,6 +971,10 @@ class ParquetLake:
             delta.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)),
             self.n_buckets,
         )
+        if self.minhash_bands:
+            # sign this fold's winners once; a previous minor fold's
+            # winners arrive already signed and are skipped per row
+            merged = fill_band_columns(merged)
 
         # Row count + route list + bucket list ride the fold's own write
         # job (Observation, same pattern as merge_parsed) — no post-write
@@ -1082,6 +1091,11 @@ class ParquetLake:
                     & (F.col(LSN_COL) < F.lit(self.tombstone_horizon_lsn))
                 )
             )
+        if self.minhash_bands:
+            # post-LWW signing: base winners keep their stored signature,
+            # raw-delta winners are signed here, once — O(winners), in
+            # the same post-shuffle stage as the write
+            merged = fill_band_columns(merged)
 
         # The written bucket set and per-bucket route lists ride the
         # rewrite's own job (Observation): the distinct (bucket, route)
@@ -1425,10 +1439,15 @@ class ParquetLake:
             else self.current_meta()
         )
         extra_cols = list(meta["extra_columns"]) if meta else []
+        unsigned_possible = False
         if not meta or (not meta["buckets"] and not meta.get("deltas")):
             df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         else:
             base, delta = self._read_split(meta, extra_cols, route=route)
+            # only delta-sourced winners can be unsigned: every base
+            # writer runs the post-LWW fill, so a base-only read carries
+            # a complete signature column set by construction
+            unsigned_possible = delta is not None
             # merge-on-read: several versions of a key may coexist across
             # base + deltas until compaction. Strategy by delta size:
             # small backlog (the steady state between compactions) =>
@@ -1450,6 +1469,13 @@ class ParquetLake:
                 )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
+        if self.minhash_bands and keep_signatures and unsigned_possible:
+            # winners resolved from a still-raw delta backlog arrive
+            # unsigned; sign exactly those rows (stored base signatures
+            # pass through untouched). Skipped entirely when the caller
+            # drops the columns anyway, and on compacted base-only reads
+            # (nothing to sign — the fill's plan cost is not free).
+            df = fill_band_columns(df)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_internal:
