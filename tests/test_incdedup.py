@@ -1,9 +1,11 @@
 """Incremental dedup-on-ingest: LSH band signatures are computed once
-per row version as it flattens into the lake (sink minhash_bands=True)
-and ride the LWW merge — so after ANY number of batches, updates,
-deletes, revives, and compactions (both tiers), the STORED signatures
-must equal a from-scratch recomputation over the final visible content.
-That equality is the whole incremental-dedup contract (the driver row
+per WINNING row version — the post-LWW fill (signatures.fill_band_columns)
+runs after every resolve in the lake (sink minhash_bands=True), so losing
+versions never pay the shingle cost and stored signatures ride later
+folds untouched. After ANY number of batches, updates, deletes, revives,
+and compactions (both tiers), the STORED signatures must equal a
+from-scratch recomputation over the final visible content. That equality
+is the whole incremental-dedup contract (the driver row
 dedup_lake_signatures re-proves it against an independent DuckDB
 oracle)."""
 
@@ -148,3 +150,48 @@ def test_signature_columns_are_reserved_from_extras(spark, tmp_path):
     assert lake.current_meta()["extra_columns"] == []
     row = lake.read(keep_signatures=True).collect()[0]
     assert row["__mh_band0"] != "EVIL"  # the engine's own signature won
+
+
+def test_fill_band_columns_preserves_stored_and_signs_missing(spark):
+    """fill_band_columns unit contract: (a) rows with a stored signature
+    keep it BYTE-IDENTICAL (even a deliberately wrong stored value — the
+    fill must not recompute it); (b) unsigned rows with content get the
+    same signature with_band_columns would compute; (c) null-content rows
+    stay null. Regression for the predicate-capture subtlety: the fill
+    materializes its need-predicate BEFORE rewriting band0 — an
+    expression re-resolving band0 by name would flip to false after the
+    first band fills, leaving bands 1-3 unsigned."""
+    from pyspark_cdc.signatures import fill_band_columns
+
+    rows = [
+        ("signed", "keep me intact", "STORED0", "STORED1", "STORED2", "STORED3"),
+        ("unsigned", "the quick brown fox jumps over the lazy dog", None,
+         None, None, None),
+        ("tombstone", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["repo", "content", *SIG_COLS]
+    )
+    got = {r["repo"]: r for r in fill_band_columns(df).collect()}
+
+    assert [got["signed"][c] for c in SIG_COLS] == [
+        "STORED0", "STORED1", "STORED2", "STORED3"
+    ]
+    ref = with_band_columns(
+        spark.createDataFrame(
+            [("unsigned", "the quick brown fox jumps over the lazy dog")],
+            ["repo", "content"],
+        )
+    ).collect()[0]
+    filled = [got["unsigned"][c] for c in SIG_COLS]
+    assert filled == [ref[c] for c in SIG_COLS]
+    assert all(v is not None for v in filled)  # all four bands signed
+    assert [got["tombstone"][c] for c in SIG_COLS] == [None] * 4
+
+    # missing signature columns are treated as all-null (fresh table)
+    bare = spark.createDataFrame(
+        [("x", "alpha beta gamma delta epsilon")], ["repo", "content"]
+    )
+    got_bare = fill_band_columns(bare).collect()[0]
+    ref_bare = with_band_columns(bare).collect()[0]
+    assert [got_bare[c] for c in SIG_COLS] == [ref_bare[c] for c in SIG_COLS]
