@@ -1231,6 +1231,52 @@ class ParquetLake:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df
 
+    def _read_base(
+        self, meta: dict, extra_cols: list[str], route: str | None = None,
+        bucket_set: set[int] | None = None, exclude: bool = False,
+    ):
+        """Base rows as one normalized DataFrame, or None when no bucket
+        survives pruning. Pruning happens at the PATH level — a pruned
+        bucket's files are never listed or opened: route=X keeps only
+        buckets whose manifest route list contains X (the Q11 tenant
+        read), and bucket_set keeps only those key-hash buckets
+        (exclude=False — the subset-major fold's input) or everything BUT
+        them (exclude=True — the untouched side of the subset MoR read,
+        which streams through with no join at all)."""
+        bucket_routes = meta.get("bucket_routes", {})
+
+        def bucket_has_route(b: str) -> bool:
+            if route is None:
+                return True
+            routes = bucket_routes.get(b)
+            return routes is None or route in routes  # None: pre-route manifest
+
+        def bucket_selected(b: str) -> bool:
+            if bucket_set is None:
+                return True  # no filter: exclude-nothing == keep-everything
+            return (int(b) in bucket_set) != exclude
+
+        base_paths = [
+            os.path.join(self.table_dir, p)
+            for b, p in meta["buckets"].items()
+            if bucket_has_route(b) and bucket_selected(b)
+        ]
+        base = self._read_bucket_tree(base_paths)
+        if base is not None:
+            if route is not None:
+                if ROUTE_COL not in base.columns:
+                    # a pre-route base has no per-tenant layout: silently
+                    # returning every tenant's rows would break the
+                    # isolation contract, so refuse loudly
+                    raise ValueError(
+                        "route-scoped read on a base written without route "
+                        "partitioning; run a compaction on the current "
+                        "engine first"
+                    )
+                base = base.filter(F.col(ROUTE_COL) == route)
+            base = self._normalize_rows(self._route_as_string(base), extra_cols)
+        return base
+
     def _read_split(
         self, meta: dict, extra_cols: list[str], route: str | None = None,
         buckets: list[int] | None = None,
@@ -1253,42 +1299,16 @@ class ParquetLake:
         (the subset-major fold's read: only buckets the deltas touch);
         the delta side is never bucket-filtered here — a subset fold
         consumes every outstanding delta whole."""
-        bucket_routes = meta.get("bucket_routes", {})
         bucket_set = None if buckets is None else {int(b) for b in buckets}
-
-        def bucket_has_route(b: str) -> bool:
-            if route is None:
-                return True
-            routes = bucket_routes.get(b)
-            return routes is None or route in routes  # None: pre-route manifest
 
         def delta_has_route(d: dict) -> bool:
             return self._delta_matches_route(d, route)
 
-        base_paths = [
-            os.path.join(self.table_dir, p)
-            for b, p in meta["buckets"].items()
-            if bucket_has_route(b)
-            and (bucket_set is None or int(b) in bucket_set)
-        ]
         deltas = [
             d if isinstance(d, dict) else {"path": d, "format": "flat"}
             for d in meta.get("deltas", [])
         ]
-        base = self._read_bucket_tree(base_paths)
-        if base is not None:
-            if route is not None:
-                if ROUTE_COL not in base.columns:
-                    # a pre-route base has no per-tenant layout: silently
-                    # returning every tenant's rows would break the
-                    # isolation contract, so refuse loudly
-                    raise ValueError(
-                        "route-scoped read on a base written without route "
-                        "partitioning; run a compaction on the current "
-                        "engine first"
-                    )
-                base = base.filter(F.col(ROUTE_COL) == route)
-            base = self._normalize_rows(self._route_as_string(base), extra_cols)
+        base = self._read_base(meta, extra_cols, route=route, bucket_set=bucket_set)
 
         # each delta is its own partitioned root — read separately (several
         # partitioned roots in one load trip partition discovery)
@@ -1379,6 +1399,55 @@ class ParquetLake:
         routes = d.get("routes") if isinstance(d, dict) else None
         return routes is None or route in routes
 
+    def _read_mor_subset(
+        self, meta: dict, extra_cols: list[str], route: str | None,
+        touched: list[int],
+    ):
+        """Steady-state MoR read with the base SPLIT by the manifest's
+        touched-bucket lists: the bucket of a key is a pure function of the
+        key (bucket_expr), every delta commit records the buckets its ok
+        rows hash into, and every base writer lays rows out by the same
+        expression — so a delta key can only collide with base rows inside
+        a TOUCHED bucket. Untouched buckets therefore stream straight
+        through with NO join at all (not even the broadcast hash probe),
+        and only the touched buckets pay _merge_read_broadcast's two
+        scan-side passes (anti + semi). At a steady state where deltas
+        touch a small fraction f of the buckets, the base scan work drops
+        from 2x the table to (1+f)x — the read-path twin of the subset
+        MAJOR fold, driven by the same manifest bucket lists. Exactness is
+        the same argument as the subset major: an untouched bucket has no
+        delta versions, so LWW over (bucket ∪ ∅) is the bucket unchanged.
+
+        Returns (df, unsigned_possible) — the second element feeds read()'s
+        signature fill (only delta-sourced winners can be unsigned)."""
+        base_t, delta = self._read_split(
+            meta, extra_cols, route=route, buckets=touched
+        )
+        base_u = self._read_base(
+            meta, extra_cols, route=route,
+            bucket_set={int(b) for b in touched}, exclude=True,
+        )
+        if delta is None:
+            # every delta was route-pruned away: this tenant's state is a
+            # plain (pruned) base scan
+            resolved = base_t
+        elif base_t is None:
+            resolved = resolve_lww(delta)
+        else:
+            resolved = self._merge_read_broadcast(base_t, delta)
+        parts = [p for p in (resolved, base_u) if p is not None]
+        if not parts:
+            return (
+                self.spark.createDataFrame(
+                    [], self._row_schema(extra_cols)
+                ).drop(BUCKET_COL),
+                False,
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df, delta is not None
+
     def _merge_read_broadcast(self, base: DataFrame, delta: DataFrame) -> DataFrame:
         """MoR read WITHOUT a table-wide shuffle, for the steady state
         where the outstanding deltas are small relative to the base: base
@@ -1443,30 +1512,52 @@ class ParquetLake:
         if not meta or (not meta["buckets"] and not meta.get("deltas")):
             df = self.spark.createDataFrame([], self._row_schema(extra_cols)).drop(BUCKET_COL)
         else:
-            base, delta = self._read_split(meta, extra_cols, route=route)
-            # only delta-sourced winners can be unsigned: every base
-            # writer runs the post-LWW fill, so a base-only read carries
-            # a complete signature column set by construction
-            unsigned_possible = delta is not None
             # merge-on-read: several versions of a key may coexist across
-            # base + deltas until compaction. Strategy by delta size:
-            # small backlog (the steady state between compactions) =>
-            # broadcast key-set join, NO table-wide shuffle; large backlog
-            # (or no base) => the global LWW aggregate.
-            if base is None and delta is None:
-                df = self.spark.createDataFrame(
-                    [], self._row_schema(extra_cols)
-                ).drop(BUCKET_COL)
-            elif delta is None:
-                df = base  # compacted table: plain pruned scan, no agg
-            elif base is None:
-                df = resolve_lww(delta)
-            elif self._delta_bytes(meta, route=route) <= self.broadcast_delta_bytes:
-                df = self._merge_read_broadcast(base, delta)
-            else:
-                df = resolve_lww(
-                    base.unionByName(delta, allowMissingColumns=True)
+            # base + deltas until compaction. Strategy by delta size,
+            # decided from the MANIFEST alone (delta bytes + touched-bucket
+            # lists) before any scan is constructed: small backlog (the
+            # steady state between compactions) => broadcast key-set join
+            # against ONLY the delta-touched buckets, untouched buckets
+            # stream through join-free (_read_mor_subset; legacy manifests
+            # without bucket lists fall back to the whole-base broadcast
+            # join); large backlog (or no base) => the global LWW
+            # aggregate.
+            touched = (
+                self._delta_touched_buckets(meta)
+                if meta.get("deltas") and meta["buckets"]
+                else None
+            )
+            if (
+                touched is not None
+                and self._delta_bytes(meta, route=route)
+                <= self.broadcast_delta_bytes
+            ):
+                df, unsigned_possible = self._read_mor_subset(
+                    meta, extra_cols, route, touched
                 )
+            else:
+                base, delta = self._read_split(meta, extra_cols, route=route)
+                # only delta-sourced winners can be unsigned: every base
+                # writer runs the post-LWW fill, so a base-only read
+                # carries a complete signature column set by construction
+                unsigned_possible = delta is not None
+                if base is None and delta is None:
+                    df = self.spark.createDataFrame(
+                        [], self._row_schema(extra_cols)
+                    ).drop(BUCKET_COL)
+                elif delta is None:
+                    df = base  # compacted table: plain pruned scan, no agg
+                elif base is None:
+                    df = resolve_lww(delta)
+                elif (
+                    self._delta_bytes(meta, route=route)
+                    <= self.broadcast_delta_bytes
+                ):
+                    df = self._merge_read_broadcast(base, delta)
+                else:
+                    df = resolve_lww(
+                        base.unionByName(delta, allowMissingColumns=True)
+                    )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         if self.minhash_bands and keep_signatures and unsigned_possible:

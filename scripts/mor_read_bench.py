@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Subset MoR read cost vs the whole-base broadcast join.
+
+Evidence for the round-5 read-path surgery (sink.py `_read_mor_subset`):
+between compactions the steady-state read should pay the broadcast
+anti/semi join only on the base buckets the outstanding deltas touch —
+untouched buckets stream through join-free — so base scan work drops
+from 2x the table (anti + semi passes) to (1 + touched_share)x. This
+script builds the same lake shape as major_subset_bench.py (clean base
+spanning all n_buckets, then a delta wave confined by the engine's own
+bucket expression to a small subset) and INTERLEAVES timed reads
+A/B/A/B on the SAME lake state (host drift hits both arms equally):
+
+  * arm subset (the default read): broadcast join on touched buckets
+    only, untouched buckets pass through;
+  * arm whole: the legacy-manifest fallback — the broadcast key-set
+    join probed against EVERY base bucket (forced by masking
+    _delta_touched_buckets);
+
+asserting both arms produce the same final table (row count +
+order-insensitive whole-row sha256) before timing. The timed op is an
+aggregate that forces a real content scan (count + max(length(content))
++ sum of a key hash) without driver-side collection of rows.
+
+Run: python scripts/mor_read_bench.py [n_events] [n_keys] [reps]
+(default 8_000_000 events / 800_000 keys / 5 reps per arm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else max(2_000, n_events // 10)
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_buckets = 64
+    subset_max_bucket = 4  # delta wave touches buckets 0..3 only
+
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc import generate
+    from pyspark_cdc.session import get_spark
+    from pyspark_cdc.sink import ParquetLake
+    from pyspark_cdc.stream import process_batch, replay_batch
+
+    spark = get_spark(cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="pyspark_cdc_readbench_")
+    try:
+        # ---- base wave: spread across every bucket, folded into a clean base
+        log_dir = os.path.join(work, "log_base")
+        generate.write_log(
+            spark, log_dir, n_events=n_events, n_keys=n_keys,
+            n_files=8, include_edge_cases=False,
+        )
+        lake_dir = os.path.join(work, "lake")
+        lake = ParquetLake(spark, lake_dir, n_buckets=n_buckets, mode="mor",
+                           compact_every=10**9)
+        replay_batch(spark, log_dir, lake, batch_id=0)
+        lake._commit_snapshot(
+            lake._compact(lake.current_meta(), full=True))  # clean base
+
+        # ---- delta wave confined to buckets < subset_max_bucket by the
+        # engine's own bucket expression over the envelope key
+        delta_raw = generate.bulk_events_df(
+            spark, max(100_000, n_events // 40), n_keys=n_keys, seed=7,
+        )
+        key_t = F.from_json(F.col("key"), "repo string, path string")
+        bucket = F.pmod(
+            F.xxhash64(key_t["repo"], key_t["path"]), F.lit(n_buckets))
+        delta_raw = delta_raw.where(bucket < subset_max_bucket)
+        process_batch(delta_raw, 1, lake)
+
+        meta = lake.current_meta()
+        touched = lake._delta_touched_buckets(meta)
+        assert touched is not None and len(touched) <= subset_max_bucket, (
+            f"delta confinement failed: touched={touched}")
+        assert lake._delta_bytes(meta) <= lake.broadcast_delta_bytes, (
+            "delta backlog too large for the broadcast regime")
+        base_bytes = sum(
+            lake._tree_bytes(os.path.join(lake_dir, rel))
+            for rel in meta["buckets"].values())
+        touched_bytes = sum(
+            lake._tree_bytes(os.path.join(lake_dir, meta["buckets"][str(b)]))
+            for b in touched if str(b) in meta["buckets"])
+
+        def state(df):
+            """Order-insensitive whole-table fingerprint (equality check)."""
+            h = df.select(F.sha2(F.to_json(F.struct("*")), 256).alias("h"))
+            row = h.agg(
+                F.count("*").alias("n"),
+                F.sha2(F.concat_ws(
+                    "", F.sort_array(F.collect_list("h"))), 256).alias("s"),
+            ).collect()[0]
+            return row["n"], row["s"]
+
+        def timed_scan(df) -> float:
+            """Force a real content scan through the read plan."""
+            t0 = time.monotonic()
+            df.agg(
+                F.count("*"),
+                F.max(F.length("content")),
+                F.sum(F.xxhash64("repo", "path")),
+            ).collect()
+            return time.monotonic() - t0
+
+        def force_whole(on: bool):
+            if on:  # mask the bucket lists => legacy whole-base join
+                lake._delta_touched_buckets = lambda m: None
+            elif "_delta_touched_buckets" in lake.__dict__:
+                del lake._delta_touched_buckets
+
+        # equality first (untimed), then interleaved timed reps
+        force_whole(False)
+        n_sub, h_sub = state(lake.read())
+        force_whole(True)
+        n_whole, h_whole = state(lake.read())
+        force_whole(False)
+        assert (n_sub, h_sub) == (n_whole, h_whole), (
+            f"subset/whole reads diverged: {n_sub}/{h_sub[:12]} vs "
+            f"{n_whole}/{h_whole[:12]}")
+
+        walls = {"subset": [], "whole": []}
+        timed_scan(lake.read())  # warm-up (file listing, JIT)
+        for _ in range(reps):
+            force_whole(False)
+            walls["subset"].append(timed_scan(lake.read()))
+            force_whole(True)
+            walls["whole"].append(timed_scan(lake.read()))
+        force_whole(False)
+
+        med = {k: statistics.median(v) for k, v in walls.items()}
+        out = {
+            "n_events_base": n_events,
+            "n_buckets": n_buckets,
+            "touched_buckets": len(touched),
+            "touched_share": round(len(touched) / n_buckets, 4),
+            "base_bytes": base_bytes,
+            "touched_bytes": touched_bytes,
+            "reps_per_arm": reps,
+            "subset_read_wall_s": round(med["subset"], 3),
+            "whole_read_wall_s": round(med["whole"], 3),
+            "subset_walls": [round(w, 3) for w in walls["subset"]],
+            "whole_walls": [round(w, 3) for w in walls["whole"]],
+            "speedup": round(med["whole"] / med["subset"], 2)
+            if med["subset"] else None,
+            "final_rows": n_sub,
+            "state_equal": True,
+        }
+        print(json.dumps(out))
+        print()
+        print("| read | base joined | base bytes joined | median wall (s) |")
+        print("|---|---|---|---|")
+        print(f"| subset broadcast | {len(touched)}/{n_buckets} buckets "
+              f"| {touched_bytes:,} | {med['subset']:.3f} |")
+        print(f"| whole-base broadcast | {n_buckets}/{n_buckets} buckets "
+              f"| {base_bytes:,} | {med['whole']:.3f} |")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

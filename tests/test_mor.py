@@ -698,3 +698,109 @@ def test_subset_major_all_dead_letter_backlog_skips_base(spark, tmp_path):
 
     feed(4, [upsert("r1", "c", 20)])
     assert ("r1", "c") in _rows(lake)
+
+
+def test_subset_mor_read_joins_only_touched_buckets(spark, tmp_path):
+    """The read-path twin of the subset major: between compactions the
+    steady-state MoR read broadcast-joins ONLY the base buckets the
+    outstanding deltas touch (the manifest's per-delta bucket lists);
+    untouched buckets stream through join-free. All four paths must agree
+    row-for-row — the subset broadcast read (the new default), the
+    whole-base broadcast join (the legacy-manifest fallback), the global
+    LWW aggregate, and a fresh COW replay of the same batches — and the
+    path-level proof is in inputFiles(): the join side's base scan lists
+    ONLY touched-bucket files, the pass-through side only the rest, and
+    together they cover the base exactly."""
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    _rec, upsert, delete = _mk_rec_helpers()
+    n_buckets = 8
+    keys = [("org/r", f"src/f{i}.py") for i in range(40)]
+    new_key = ("org/other", "brand/new.py")
+    kb = _buckets_of(spark, [*keys, new_key], n_buckets)
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(kb[k], []).append(k)
+    touched_bucket = sorted(by_bucket)[0]
+    tk = by_bucket[touched_bucket]
+    assert len(tk) >= 3
+
+    def feed(lake, bid, recs_):
+        process_batch(
+            spark.createDataFrame(recs_, schema=KAFKA_SHAPE), bid, lake)
+
+    lake = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=n_buckets,
+                       mode="mor", compact_every=2, major_every=1)
+    batches = [
+        [upsert(r, p, 1 + i) for i, (r, p) in enumerate(keys)],
+        [upsert(*keys[0], 500)],  # -> MAJOR #1: base built, deltas []
+    ]
+    for bid, recs_ in enumerate(batches):
+        feed(lake, bid, recs_)
+    assert lake.current_meta()["deltas"] == []
+    lake.compact_every = 100  # keep the next deltas outstanding
+
+    # the steady-state backlog: update/delete inside ONE bucket plus a
+    # brand-new key (possibly a different bucket) across two deltas
+    batches.append([upsert(*tk[0], 2000), delete(*tk[1], 2100),
+                    upsert(*new_key, 2200)])
+    batches.append([upsert(*tk[2], 2300)])
+    for bid, recs_ in list(enumerate(batches))[2:]:
+        feed(lake, bid, recs_)
+
+    meta = lake.current_meta()
+    extra_cols = list(meta["extra_columns"])
+    assert len(meta["deltas"]) == 2
+    touched = ParquetLake._delta_touched_buckets(meta)
+    assert set(touched) == {touched_bucket, kb[new_key]}
+
+    # 1) the four strategies agree row-for-row
+    got = _rows(lake)  # default path: subset broadcast (tiny delta bytes)
+    assert got[tk[0]]["content"] == "v2000"
+    assert got[tk[2]]["content"] == "v2300"
+    assert got[new_key]["content"] == "v2200"
+    assert tk[1] not in got
+
+    lake._delta_touched_buckets = lambda meta: None  # legacy: no bucket lists
+    assert _rows(lake) == got  # whole-base broadcast join fallback
+    del lake._delta_touched_buckets
+
+    lake.broadcast_delta_bytes = -1
+    assert _rows(lake) == got  # global LWW aggregate
+    lake.broadcast_delta_bytes = 32 * 1024 * 1024
+
+    cow = ParquetLake(spark, str(tmp_path / "cow"), n_buckets=n_buckets,
+                      mode="cow")
+    for bid, recs_ in enumerate(batches):
+        feed(cow, bid, recs_)
+    assert _rows(cow) == got
+
+    # 2) path-level pruning proof: the join side scans only touched
+    # buckets, the pass-through side only the rest, covering the base
+    def bucket_dirs(files):
+        return {f.split("__bucket=", 1)[1].split("/", 1)[0] for f in files}
+
+    base_t, _ = lake._read_split(meta, extra_cols, buckets=touched)
+    base_u = lake._read_base(meta, extra_cols,
+                             bucket_set={int(b) for b in touched},
+                             exclude=True)
+    all_base = lake._read_base(meta, extra_cols)
+    t_files = set(base_t.inputFiles())
+    u_files = set(base_u.inputFiles())
+    assert bucket_dirs(t_files) == {str(b) for b in touched}
+    assert bucket_dirs(u_files).isdisjoint(bucket_dirs(t_files))
+    assert t_files | u_files == set(all_base.inputFiles())
+    assert t_files.isdisjoint(u_files)
+
+    # 3) compaction after a subset read keeps everything consistent: the
+    # backlog (3 raw deltas >= compact_every) majors on the next feed,
+    # and the feed after that leaves ONE fresh delta — a subset read
+    # over a just-majored base plus a single outstanding delta
+    lake.compact_every = 2
+    feed(lake, len(batches), [upsert(*tk[0], 3000)])   # -> MAJOR
+    feed(lake, len(batches) + 1, [upsert(*tk[2], 3100)])
+    assert len(lake.current_meta()["deltas"]) == 1
+    after = _rows(lake)
+    assert after[tk[0]]["content"] == "v3000"
+    assert after[tk[2]]["content"] == "v3100"
