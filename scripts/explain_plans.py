@@ -184,6 +184,55 @@ def main() -> int:
         must_not=["BatchEvalPython", "SortMergeJoin", "Window"],
     )
 
+    # 4b3. SUBSET steady-state read (round 5): when the outstanding
+    # deltas' manifest bucket lists cover only part of the base, the
+    # broadcast resolve joins ONLY those buckets; the untouched majority
+    # of the base unions in BELOW the join — pruned at the FILE level
+    # (those buckets' files never enter the join branches), not as a row
+    # filter. Plan: a Union whose joined branch carries the
+    # BroadcastHashJoins; file-level proof from inputFiles() in the note.
+    mor3 = ParquetLake(
+        spark, os.path.join(work, "mor3"), n_buckets=16, mode="mor",
+        compact_every=1,
+    )
+    mor3.merge_parsed(parsed, 0)  # compacts into a base
+    mor3.compact_every = 100
+    key_t = F.from_json(F.col("key"), "repo string, path string")
+    conf = generate.bulk_events_df(spark, 2_000, n_keys=2_000, seed=9).where(
+        F.pmod(F.xxhash64(key_t["repo"], key_t["path"]), F.lit(16)) < 2
+    )
+    mor3.merge_parsed(parse_envelopes(conf), 1)
+    meta3 = mor3.current_meta()
+    touched3 = ParquetLake._delta_touched_buckets(meta3)
+    plan = formatted(mor3.read())
+    check(
+        "MoR SUBSET steady-state read (join only delta-touched buckets)",
+        plan,
+        must=["BroadcastHashJoin", "partial_max_by", "Union"],
+        must_not=["BatchEvalPython", "SortMergeJoin", "Window"],
+    )
+    extra3 = list(meta3["extra_columns"])
+    base_t3, _d3 = mor3._read_split(meta3, extra3, buckets=touched3)
+    base_u3 = mor3._read_base(
+        meta3, extra3, bucket_set={int(b) for b in touched3}, exclude=True
+    )
+
+    def _bkts(df):
+        files = df.inputFiles() if df is not None else []
+        return {f.split("__bucket=", 1)[1].split("/", 1)[0] for f in files}
+
+    tb, ub = _bkts(base_t3), _bkts(base_u3)
+    split_ok = tb == {str(b) for b in touched3} and tb.isdisjoint(ub)
+    sections[-1][2].append(
+        f"{'OK ' if split_ok else 'FAIL'} file-level base split: join branch lists "
+        f"touched buckets {sorted(tb)} only; pass-through branch holds the "
+        f"{len(ub)} others, disjoint"
+    )
+    if not split_ok:
+        failures.append(
+            "subset read: base file split does not match touched buckets"
+        )
+
     # 4c. tenant-pruned read (Q11) on the steady-state lake (compacted
     # base + outstanding delta): the route predicate must land in the
     # BASE scan's PartitionFilters (directory pruning over the

@@ -22,8 +22,10 @@ order-insensitive whole-row sha256) before timing. The timed op is an
 aggregate that forces a real content scan (count + max(length(content))
 + sum of a key hash) without driver-side collection of rows.
 
-Run: python scripts/mor_read_bench.py [n_events] [n_keys] [reps]
-(default 8_000_000 events / 800_000 keys / 5 reps per arm).
+Run: python scripts/mor_read_bench.py [n_events] [n_keys] [reps] [content_words]
+(default 8_000_000 events / 800_000 keys / 5 reps per arm / 1-token
+content; content_words=64 gives document-shaped rows where the base
+scan — the thing the subset read halves — dominates the wall).
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def main() -> int:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else max(2_000, n_events // 10)
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    content_words = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_buckets = 64
     subset_max_bucket = 4  # delta wave touches buckets 0..3 only
@@ -63,6 +66,7 @@ def main() -> int:
         generate.write_log(
             spark, log_dir, n_events=n_events, n_keys=n_keys,
             n_files=8, include_edge_cases=False,
+            content_words=content_words,
         )
         lake_dir = os.path.join(work, "lake")
         lake = ParquetLake(spark, lake_dir, n_buckets=n_buckets, mode="mor",
@@ -75,6 +79,7 @@ def main() -> int:
         # engine's own bucket expression over the envelope key
         delta_raw = generate.bulk_events_df(
             spark, max(100_000, n_events // 40), n_keys=n_keys, seed=7,
+            content_words=content_words,
         )
         key_t = F.from_json(F.col("key"), "repo string, path string")
         bucket = F.pmod(
@@ -111,7 +116,9 @@ def main() -> int:
             df.agg(
                 F.count("*"),
                 F.max(F.length("content")),
-                F.sum(F.xxhash64("repo", "path")),
+                # pmod keeps the running sum bounded (ANSI mode: a raw
+                # sum of 64-bit hashes overflows LongType)
+                F.sum(F.pmod(F.xxhash64("repo", "path"), F.lit(1_000_000))),
             ).collect()
             return time.monotonic() - t0
 
@@ -120,6 +127,15 @@ def main() -> int:
                 lake._delta_touched_buckets = lambda m: None
             elif "_delta_touched_buckets" in lake.__dict__:
                 del lake._delta_touched_buckets
+
+        # structural metric, independent of host pace: how many base rows
+        # enter the broadcast join branches (each is scanned TWICE there,
+        # once per anti/semi pass) under each arm
+        extra_cols = list(meta["extra_columns"])
+        base_t, _ = lake._read_split(meta, extra_cols, buckets=touched)
+        rows_joined_subset = base_t.count() if base_t is not None else 0
+        all_base = lake._read_base(meta, extra_cols)
+        rows_joined_whole = all_base.count() if all_base is not None else 0
 
         # equality first (untimed), then interleaved timed reps
         force_whole(False)
@@ -143,11 +159,14 @@ def main() -> int:
         med = {k: statistics.median(v) for k, v in walls.items()}
         out = {
             "n_events_base": n_events,
+            "content_words": content_words,
             "n_buckets": n_buckets,
             "touched_buckets": len(touched),
             "touched_share": round(len(touched) / n_buckets, 4),
             "base_bytes": base_bytes,
             "touched_bytes": touched_bytes,
+            "base_rows_joined_subset": rows_joined_subset,
+            "base_rows_joined_whole": rows_joined_whole,
             "reps_per_arm": reps,
             "subset_read_wall_s": round(med["subset"], 3),
             "whole_read_wall_s": round(med["whole"], 3),
