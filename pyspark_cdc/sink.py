@@ -1024,13 +1024,25 @@ class ParquetLake:
         return new_meta
 
     @staticmethod
-    def _delta_touched_buckets(meta: dict) -> list[int] | None:
+    def _delta_touched_buckets(
+        meta: dict, route: str | None = None
+    ) -> list[int] | None:
         """Union of the manifest's per-delta touched-bucket lists — the
         base buckets a MAJOR fold must read. None when any delta entry
         predates bucket tracking (legacy manifest): the safe fallback is
-        a full-table major, exactly the pre-subset behavior."""
+        a full-table major, exactly the pre-subset behavior.
+
+        route=X keeps only deltas whose manifest route list contains X
+        (the same pruning _read_split applies to the delta scan), so a
+        tenant-scoped subset read joins only the buckets touched by the
+        TENANT'S own backlog — a bucket churned exclusively by other
+        tenants streams through the tenant's read join-free. Route-pruned
+        deltas are skipped BEFORE the legacy check: a delta whose rows
+        never enter the merge cannot need a fallback on their account."""
         out: set[int] = set()
         for d in meta.get("deltas", []):
+            if not ParquetLake._delta_matches_route(d, route):
+                continue
             if not isinstance(d, dict) or "buckets" not in d:
                 return None
             out.update(int(b) for b in d["buckets"])
@@ -1523,7 +1535,7 @@ class ParquetLake:
             # join); large backlog (or no base) => the global LWW
             # aggregate.
             touched = (
-                self._delta_touched_buckets(meta)
+                self._delta_touched_buckets(meta, route=route)
                 if meta.get("deltas") and meta["buckets"]
                 else None
             )

@@ -124,7 +124,7 @@ def main() -> int:
 
         def force_whole(on: bool):
             if on:  # mask the bucket lists => legacy whole-base join
-                lake._delta_touched_buckets = lambda m: None
+                lake._delta_touched_buckets = lambda m, route=None: None
             elif "_delta_touched_buckets" in lake.__dict__:
                 del lake._delta_touched_buckets
 

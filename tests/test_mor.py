@@ -762,7 +762,7 @@ def test_subset_mor_read_joins_only_touched_buckets(spark, tmp_path):
     assert got[new_key]["content"] == "v2200"
     assert tk[1] not in got
 
-    lake._delta_touched_buckets = lambda meta: None  # legacy: no bucket lists
+    lake._delta_touched_buckets = lambda meta, route=None: None  # legacy: no bucket lists
     assert _rows(lake) == got  # whole-base broadcast join fallback
     del lake._delta_touched_buckets
 

@@ -148,3 +148,67 @@ def test_manifest_level_delta_pruning(spark, tmp_path):
     assert delta["routes"] == [generate.TOPICS[0]]
     assert lake.read(route=generate.TOPICS[1]).count() == 0
     assert lake.read(route=generate.TOPICS[0]).count() == 5
+
+
+def test_route_scoped_subset_read_joins_only_own_touched_buckets(
+    spark, tmp_path
+):
+    """Round-5 refinement: the subset MoR read's touched-bucket union is
+    route-pruned, so a tenant read broadcast-joins only the base buckets
+    the TENANT'S own backlog touched. The extreme: when the whole backlog
+    belongs to the other tenant, a tenant-scoped read is a pure pruned
+    base scan — no join operator in its plan at all — while still
+    returning exactly the filtered-full-read rows."""
+    lake = _mklake(spark, tmp_path, compact_every=3)  # 3 batches => major
+    meta = lake.current_meta()
+    assert meta["buckets"] and meta["deltas"] == []
+    lake.compact_every = 100
+
+    # tenant-A-only backlog (len("aaaa/x") even => TOPICS[0])
+    only_a = [
+        {
+            "key": json.dumps({"repo": "aaaa/x", "path": f"f{i}.py"}),
+            "value": generate._env(
+                "c", generate._after("aaaa/x", f"f{i}.py", 10_000 + i),
+                lsn=10_000 + i,
+            ),
+            "topic": generate.topic_for("aaaa/x"),
+            "partition": 0,
+            "offset": 10_000 + i,
+        }
+        for i in range(5)
+    ]
+    process_batch(
+        spark.createDataFrame(only_a, schema=generate.KAFKA_SHAPE), 3, lake
+    )
+    meta = lake.current_meta()
+    (delta,) = meta["deltas"]
+    route_a, route_b = generate.TOPICS
+    assert delta["routes"] == [route_a]
+
+    # manifest-level: B's touched set is empty, A's is the delta's own
+    touched_all = ParquetLake._delta_touched_buckets(meta)
+    assert ParquetLake._delta_touched_buckets(meta, route=route_a) == touched_all
+    assert touched_all  # the A backlog really touches buckets
+    assert ParquetLake._delta_touched_buckets(meta, route=route_b) == []
+
+    # plan-level: the B read is join-free (pure pruned base scan), the A
+    # read still carries the broadcast merge join
+    plan_b = (
+        lake.read(route=route_b)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan_b
+    plan_a = (
+        lake.read(route=route_a)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_a
+
+    # row-level: both tenants still read exactly the filtered full table
+    full = lake.read()
+    for route in (route_a, route_b):
+        assert _rows(lake.read(route=route)) == _rows(
+            full.filter(F.col("route") == route)
+        )
+    assert {r["content"] for r in lake.read(route=route_a).collect()} >= {
+        f"content of aaaa/x/f{i}.py v{10_000 + i}" for i in range(5)
+    }
