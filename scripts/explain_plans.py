@@ -265,6 +265,34 @@ def main() -> int:
     if not route_pushed:
         failures.append("tenant read: route not pushed down on the delta scan")
 
+    # 4c2. route-pruned touched union (round 5): the subset read's
+    # touched-bucket set is per-tenant, so when every outstanding delta
+    # belongs to OTHER tenants, a tenant read degrades to a pure pruned
+    # base scan — no join operator in the plan at all — while a tenant
+    # whose own backlog is outstanding still gets the broadcast merge.
+    mor4 = ParquetLake(
+        spark, os.path.join(work, "mor4"), n_buckets=16, mode="mor",
+        compact_every=1,
+    )
+    mor4.merge_parsed(parsed, 0)  # compacts into a route-partitioned base
+    mor4.compact_every = 100
+    only_a = generate.bulk_events_df(spark, 2_000, n_keys=2_000, seed=11).where(
+        F.col("topic") == generate.TOPICS[0]
+    )
+    mor4.merge_parsed(parse_envelopes(only_a), 1)
+    check(
+        "tenant read, backlog all other tenants' (join-free pruned base scan)",
+        formatted(mor4.read(route=generate.TOPICS[1])),
+        must=["PartitionFilters"],
+        must_not=["Join", "BatchEvalPython"],
+    )
+    check(
+        "tenant read, own backlog outstanding (broadcast merge, own buckets only)",
+        formatted(mor4.read(route=generate.TOPICS[0])),
+        must=["BroadcastHashJoin", "PartitionFilters"],
+        must_not=["SortMergeJoin", "BatchEvalPython"],
+    )
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.
