@@ -1587,5 +1587,88 @@ class ParquetLake:
             df = df.drop(*SIG_COLS)  # no-op on unsigned tables
         return df
 
+    def key_bucket(self, repo: str, path: str) -> int:
+        """The key-hash bucket of a primary key — the engine's own
+        bucket_expr evaluated over literals by Catalyst's constant
+        folding (a LocalRelation plan: no tasks, no scan)."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(repo), F.lit(path)),
+                    F.lit(self.n_buckets),
+                ).alias("b")
+            )
+            .first()
+        )
+        return int(row["b"])
+
+    def lookup(
+        self,
+        repo: str,
+        path: str,
+        include_deleted: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Primary-key point lookup — the reference proxy's get-document
+        analog (GET /indexes/{i}/documents/{id}; Meilisearch resolves it
+        on the PK) — returning 0 or 1 rows, at O(one bucket + key-pruned
+        backlog) cost instead of read().filter(key)'s O(table):
+
+        * the key's bucket is a pure function of the key (bucket_expr),
+          so ONLY that base bucket directory is listed and scanned —
+          at 10^5 buckets that is ~1/100,000th of the table, before the
+          key predicate even reaches the parquet footers (it lands in
+          PushedFilters, skipping row groups within the bucket);
+        * outstanding deltas are manifest-pruned by their touched-bucket
+          lists: a delta whose backlog cannot contain the key's bucket is
+          never read (legacy entries without bucket lists stay in);
+        * LWW resolves over the surviving handful of rows — max over the
+          key's base row and its delta versions, the same associativity
+          argument as every other read path.
+
+        Exact vs read(): a key's versions live ONLY in its bucket (every
+        base writer lays rows out by bucket_expr) and in deltas whose
+        bucket list contains it, so the pruned union holds every version
+        the full read would see for this key."""
+        meta = (
+            self.snapshot_meta(snapshot_id)
+            if snapshot_id is not None
+            else self.current_meta()
+        )
+        extra_cols = list(meta["extra_columns"]) if meta else []
+        empty = self.spark.createDataFrame(
+            [], self._row_schema(extra_cols)
+        ).drop(BUCKET_COL)
+        if not meta or (not meta["buckets"] and not meta.get("deltas")):
+            return empty.drop(*INTERNAL, *SIG_COLS)
+        b = self.key_bucket(repo, path)
+        sub = dict(meta)
+        sub["deltas"] = [
+            d
+            for d in meta.get("deltas", [])
+            if not isinstance(d, dict)
+            or "buckets" not in d
+            or b in {int(x) for x in d["buckets"]}
+        ]
+        base, delta = self._read_split(sub, extra_cols, buckets=[b])
+        key_pred = (F.col("repo") == repo) & (F.col("path") == path)
+        parts = [p.filter(key_pred) for p in (base, delta) if p is not None]
+        if not parts:
+            return empty.drop(*INTERNAL, *SIG_COLS)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if delta is not None:
+            # several versions of the key may coexist until compaction;
+            # base-only lookups are already unique per key (base writers
+            # are resolve_lww outputs)
+            df = resolve_lww(df)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return df.drop(*INTERNAL, *SIG_COLS)
+
     def destroy(self) -> None:
         shutil.rmtree(self.table_dir, ignore_errors=True)

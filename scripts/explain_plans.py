@@ -293,6 +293,41 @@ def main() -> int:
         must_not=["SortMergeJoin", "BatchEvalPython"],
     )
 
+    # 4d. primary-key point lookup (round 5): only the key's bucket dir is
+    # listed on the base side (file-level proof below) and the key
+    # equality reaches the parquet scan as PushedFilters, so row groups
+    # inside the bucket skip on footer stats too.
+    some = mor4.read().select("repo", "path").first()
+    looked = mor4.lookup(some["repo"], some["path"])
+    plan = formatted(looked)
+    check(
+        "primary-key point lookup (one bucket + PushedFilters)",
+        plan,
+        must=["PushedFilters"],
+        must_not=["SortMergeJoin", "BatchEvalPython", "Window"],
+    )
+    key_pushed = any(
+        "PushedFilters" in ln and "repo" in ln for ln in plan.splitlines()
+    )
+    sections[-1][2].append(
+        f"{'OK ' if key_pushed else 'FAIL'} key equality inside PushedFilters"
+    )
+    if not key_pushed:
+        failures.append("lookup: key predicate not pushed to the scan")
+    lb = mor4.key_bucket(some["repo"], some["path"])
+    lk_dirs = {
+        f.split("__bucket=", 1)[1].split("/", 1)[0]
+        for f in looked.inputFiles()
+        if "__bucket=" in f
+    }
+    one_bucket = lk_dirs <= {str(lb)}
+    sections[-1][2].append(
+        f"{'OK ' if one_bucket else 'FAIL'} base files from bucket {lb} only "
+        f"(saw {sorted(lk_dirs)})"
+    )
+    if not one_bucket:
+        failures.append("lookup: base scan lists buckets beyond the key's")
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.

@@ -804,3 +804,103 @@ def test_subset_mor_read_joins_only_touched_buckets(spark, tmp_path):
     after = _rows(lake)
     assert after[tk[0]]["content"] == "v3000"
     assert after[tk[2]]["content"] == "v3100"
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """ParquetLake.lookup(repo, path) — the reference proxy's
+    get-document analog — must return exactly what read() filtered to the
+    key returns, in every lake state (base only, base + deltas, delta-only
+    key, deleted key, absent key, time travel), while reading ONLY the
+    key's bucket directory on the base side and ONLY the deltas whose
+    manifest bucket list can contain the key."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    _rec, upsert, delete = _mk_rec_helpers()
+    n_buckets = 8
+    keys = [("org/r", f"src/f{i}.py") for i in range(40)]
+    kb = _buckets_of(spark, keys, n_buckets)
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(kb[k], []).append(k)
+    # two keys guaranteed to live in DIFFERENT buckets
+    b_main = sorted(by_bucket)[0]
+    b_other = sorted(by_bucket)[1]
+    k_main = by_bucket[b_main][0]
+    k_other = by_bucket[b_other][0]
+
+    lake = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=n_buckets,
+                       mode="mor", compact_every=2, major_every=1)
+
+    def feed(bid, recs_):
+        process_batch(
+            spark.createDataFrame(recs_, schema=KAFKA_SHAPE), bid, lake)
+
+    feed(0, [upsert(r, p, 1 + i) for i, (r, p) in enumerate(keys)])
+    feed(1, [upsert(*k_main, 500)])          # -> MAJOR: compacted base
+    assert lake.current_meta()["deltas"] == []
+    lake.compact_every = 100
+
+    def looked(repo, path, **kw):
+        return [r.asDict() for r in lake.lookup(repo, path, **kw).collect()]
+
+    def via_read(repo, path, **kw):
+        return [
+            r.asDict()
+            for r in lake.read(**kw)
+            .filter((F.col("repo") == repo) & (F.col("path") == path))
+            .collect()
+        ]
+
+    # 1) base-only lake: hit and miss
+    assert looked(*k_main) == via_read(*k_main)
+    assert looked(*k_main)[0]["content"] == "v500"
+    assert looked("no/such", "key.py") == []
+
+    # 2) outstanding deltas: update in one bucket, delete + brand-new key
+    feed(2, [upsert(*k_main, 600), delete(*k_other, 610),
+             upsert("org/new", "fresh.py", 620)])
+    meta = lake.current_meta()
+    assert meta["deltas"], "backlog must be outstanding"
+
+    assert looked(*k_main)[0]["content"] == "v600"          # delta wins
+    assert looked(*k_other) == []                           # deleted
+    tomb = looked(*k_other, include_deleted=True)
+    assert len(tomb) == 1 and tomb[0]["content"] is None  # retained tombstone
+    assert looked("org/new", "fresh.py")[0]["content"] == "v620"  # delta-only
+    for key in (k_main, k_other, ("org/new", "fresh.py")):
+        assert looked(*key) == via_read(*key)
+
+    # 3) pruning proof: the base side lists ONLY the key's bucket dir, and
+    # a delta whose bucket list excludes the key's bucket is dropped from
+    # the lookup's manifest slice
+    extra_cols = list(meta["extra_columns"])
+    b = lake.key_bucket(*k_main)
+    assert b == b_main == kb[k_main]
+    base_t, _ = lake._read_split(meta, extra_cols, buckets=[b])
+    dirs = {
+        f.split("__bucket=", 1)[1].split("/", 1)[0]
+        for f in base_t.inputFiles()
+    }
+    assert dirs == {str(b)}
+
+    feed(3, [upsert(*by_bucket[b_other][1], 700)])  # delta NOT touching b_main
+    meta = lake.current_meta()
+    sub = [
+        d for d in meta["deltas"]
+        if b in {int(x) for x in d["buckets"]}
+    ]
+    assert len(sub) < len(meta["deltas"])  # manifest-level delta pruning
+    assert looked(*k_main)[0]["content"] == "v600"  # still exact
+
+    # 4) time travel composes: snapshot before the delete still sees k_other
+    past = next(
+        s for s in range(meta["id"], 0, -1)
+        if not any(
+            True for d in lake.snapshot_meta(s).get("deltas", [])
+        ) and lake.snapshot_meta(s)["buckets"]
+    )
+    got = [r.asDict() for r in lake.lookup(*k_other, snapshot_id=past).collect()]
+    assert len(got) == 1 and got[0]["content"].startswith("v")
