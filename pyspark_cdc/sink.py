@@ -1591,17 +1591,21 @@ class ParquetLake:
         """The key-hash bucket of a primary key — the engine's own
         bucket_expr evaluated over literals by Catalyst's constant
         folding (a LocalRelation plan: no tasks, no scan)."""
-        row = (
-            self.spark.range(1)
-            .select(
-                F.pmod(
-                    F.xxhash64(F.lit(repo), F.lit(path)),
-                    F.lit(self.n_buckets),
-                ).alias("b")
-            )
-            .first()
+        return self.key_buckets([(repo, path)])[(repo, path)]
+
+    def key_buckets(
+        self, keys: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], int]:
+        """key -> key-hash bucket for a batch of primary keys, computed
+        in ONE LocalRelation job with the engine's own bucket function
+        (bucket_expr over a local key list: no scan; the collect is
+        bounded by the request size, not the table)."""
+        rows = (
+            self.spark.createDataFrame(keys, ["repo", "path"])
+            .select("repo", "path", bucket_expr(self.n_buckets).alias("b"))
+            .collect()
         )
-        return int(row["b"])
+        return {(r["repo"], r["path"]): int(r["b"]) for r in rows}
 
     def lookup(
         self,
@@ -1631,36 +1635,91 @@ class ParquetLake:
         base writer lays rows out by bucket_expr) and in deltas whose
         bucket list contains it, so the pruned union holds every version
         the full read would see for this key."""
+        return self.lookup_many(
+            [(repo, path)],
+            include_deleted=include_deleted,
+            snapshot_id=snapshot_id,
+        )
+
+    # above this many keys the per-key OR predicate stops being a good
+    # idea (expression-tree size, no footer-stat benefit once the key set
+    # spans most row groups) and a broadcast semi-join takes over
+    LOOKUP_PREDICATE_MAX = 64
+
+    def lookup_many(
+        self,
+        keys: list[tuple[str, str]],
+        include_deleted: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Batched primary-key lookup — the multi-get analog of lookup()
+        (Meilisearch's POST /indexes/{i}/documents/fetch with an ids
+        filter) — returning at most one current row per requested key at
+        O(union of key buckets + bucket-pruned backlog) cost.
+
+        Same pruning as lookup(), vectorized over the key set: the
+        buckets of all keys are computed in ONE LocalRelation job with
+        the engine's own bucket_expr; only those base bucket dirs are
+        listed; deltas whose manifest bucket list cannot intersect the
+        key buckets are skipped. Within the surviving scan, key matching
+        is an OR-of-conjunctions predicate (lands in PushedFilters —
+        row-group skipping) up to LOOKUP_PREDICATE_MAX keys, and a
+        broadcast left-semi join above it (the key list broadcasts; the
+        scan side never shuffles), so a 10^6-key batch lookup is still
+        one pass over only the touched buckets."""
+        keys = list(dict.fromkeys((r, p) for r, p in keys))
         meta = (
             self.snapshot_meta(snapshot_id)
             if snapshot_id is not None
             else self.current_meta()
         )
         extra_cols = list(meta["extra_columns"]) if meta else []
-        empty = self.spark.createDataFrame(
-            [], self._row_schema(extra_cols)
-        ).drop(BUCKET_COL)
-        if not meta or (not meta["buckets"] and not meta.get("deltas")):
-            return empty.drop(*INTERNAL, *SIG_COLS)
-        b = self.key_bucket(repo, path)
+        empty = (
+            self.spark.createDataFrame([], self._row_schema(extra_cols))
+            .drop(BUCKET_COL, *INTERNAL, *SIG_COLS)
+        )
+        if (
+            not keys
+            or not meta
+            or (not meta["buckets"] and not meta.get("deltas"))
+        ):
+            return empty
+        wanted = sorted(set(self.key_buckets(keys).values()))
         sub = dict(meta)
         sub["deltas"] = [
             d
             for d in meta.get("deltas", [])
             if not isinstance(d, dict)
             or "buckets" not in d
-            or b in {int(x) for x in d["buckets"]}
+            or any(b in {int(x) for x in d["buckets"]} for b in wanted)
         ]
-        base, delta = self._read_split(sub, extra_cols, buckets=[b])
-        key_pred = (F.col("repo") == repo) & (F.col("path") == path)
-        parts = [p.filter(key_pred) for p in (base, delta) if p is not None]
+        base, delta = self._read_split(sub, extra_cols, buckets=wanted)
+
+        if len(keys) <= self.LOOKUP_PREDICATE_MAX:
+            pred = None
+            for r, p in keys:
+                one = (F.col("repo") == r) & (F.col("path") == p)
+                pred = one if pred is None else (pred | one)
+
+            def match(df: DataFrame) -> DataFrame:
+                return df.filter(pred)
+
+        else:
+            keys_df = F.broadcast(
+                self.spark.createDataFrame(keys, ["repo", "path"])
+            )
+
+            def match(df: DataFrame) -> DataFrame:
+                return df.join(keys_df, ["repo", "path"], "left_semi")
+
+        parts = [match(p) for p in (base, delta) if p is not None]
         if not parts:
-            return empty.drop(*INTERNAL, *SIG_COLS)
+            return empty
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
         if delta is not None:
-            # several versions of the key may coexist until compaction;
+            # several versions of a key may coexist until compaction;
             # base-only lookups are already unique per key (base writers
             # are resolve_lww outputs)
             df = resolve_lww(df)

@@ -328,6 +328,37 @@ def main() -> int:
     if not one_bucket:
         failures.append("lookup: base scan lists buckets beyond the key's")
 
+    # 4e. batched lookup, join strategy (round 5): above
+    # LOOKUP_PREDICATE_MAX keys the key list broadcasts into a left-semi
+    # join — never a shuffle — and the base side still lists only the
+    # union of the requested keys' bucket dirs.
+    many = [
+        (r["repo"], r["path"])
+        for r in mor4.read().select("repo", "path").limit(5).collect()
+    ]
+    mor4.LOOKUP_PREDICATE_MAX = 0  # force the join path
+    batched = mor4.lookup_many(many)
+    check(
+        "batched key lookup, join strategy (broadcast semi, key buckets only)",
+        formatted(batched),
+        must=["BroadcastHashJoin", "LeftSemi"],
+        must_not=["SortMergeJoin", "BatchEvalPython"],
+    )
+    want_dirs = {str(b) for b in mor4.key_buckets(many).values()}
+    got_dirs = {
+        f.split("__bucket=", 1)[1].split("/", 1)[0]
+        for f in batched.inputFiles()
+        if "__bucket=" in f
+    }
+    subset = got_dirs <= want_dirs
+    sections[-1][2].append(
+        f"{'OK ' if subset else 'FAIL'} base files from the {len(want_dirs)} "
+        f"key buckets only (saw {sorted(got_dirs)})"
+    )
+    if not subset:
+        failures.append("lookup_many: base scan lists buckets beyond the keys'")
+    mor4.LOOKUP_PREDICATE_MAX = ParquetLake.LOOKUP_PREDICATE_MAX
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.

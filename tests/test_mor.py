@@ -904,3 +904,84 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     )
     got = [r.asDict() for r in lake.lookup(*k_other, snapshot_id=past).collect()]
     assert len(got) == 1 and got[0]["content"].startswith("v")
+
+
+def test_lookup_many_prunes_to_key_buckets_both_strategies(spark, tmp_path):
+    """lookup_many(keys) — the multi-get analog — must equal both the
+    per-key lookup union and read() filtered to the key set, on BOTH
+    matching strategies (OR-of-conjunctions predicate and broadcast
+    left-semi join), while scanning only the union of the keys' bucket
+    dirs on the base side."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    _rec, upsert, delete = _mk_rec_helpers()
+    n_buckets = 8
+    keys = [("org/r", f"src/f{i}.py") for i in range(40)]
+    kb = _buckets_of(spark, keys, n_buckets)
+    by_bucket = {}
+    for k, b in kb.items():
+        by_bucket.setdefault(b, []).append(k)
+    bs = sorted(by_bucket)
+    assert len(bs) >= 3
+
+    lake = ParquetLake(spark, str(tmp_path / "mor"), n_buckets=n_buckets,
+                       mode="mor", compact_every=2, major_every=1)
+
+    def feed(bid, recs_):
+        process_batch(
+            spark.createDataFrame(recs_, schema=KAFKA_SHAPE), bid, lake)
+
+    feed(0, [upsert(r, p, 1 + i) for i, (r, p) in enumerate(keys)])
+    feed(1, [upsert(*by_bucket[bs[0]][0], 500)])  # -> compacted base
+    lake.compact_every = 100
+    # outstanding delta: update, delete, delta-only new key
+    k_upd = by_bucket[bs[0]][0]
+    k_del = by_bucket[bs[1]][0]
+    feed(2, [upsert(*k_upd, 600), delete(*k_del, 610),
+             upsert("org/new", "fresh.py", 620)])
+
+    # requested: an updated key, a deleted key, a delta-only key, an
+    # untouched key from a third bucket, and a miss
+    k_cold = by_bucket[bs[2]][0]
+    req = [k_upd, k_del, ("org/new", "fresh.py"), k_cold, ("no/such", "x.py")]
+
+    expect = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in lake.read().filter(
+            F.struct("repo", "path").isin(
+                [F.struct(F.lit(r), F.lit(p)) for r, p in req])
+        ).collect()
+    }
+    per_key = {}
+    for k in req:
+        for r in lake.lookup(*k).collect():
+            per_key[(r["repo"], r["path"])] = r.asDict()
+    assert per_key == expect
+    assert set(expect) == {k_upd, ("org/new", "fresh.py"), k_cold}
+
+    for pred_max in (64, 0):  # predicate path, then forced join path
+        lake.LOOKUP_PREDICATE_MAX = pred_max
+        got_df = lake.lookup_many(req)
+        got = {(r["repo"], r["path"]): r.asDict() for r in got_df.collect()}
+        assert got == expect, f"strategy pred_max={pred_max}"
+        # base side reads ONLY the requested keys' bucket dirs
+        want_dirs = {str(kb.get(k, lake.key_bucket(*k))) for k in req}
+        seen = {
+            f.split("__bucket=", 1)[1].split("/", 1)[0]
+            for f in got_df.inputFiles()
+            if "__bucket=" in f
+        }
+        assert seen <= want_dirs, (pred_max, seen, want_dirs)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        if pred_max == 0:
+            assert "BroadcastHashJoin" in plan
+
+    # duplicate requests collapse; tombstone visible on request
+    lake.LOOKUP_PREDICATE_MAX = 64
+    assert lake.lookup_many([k_upd, k_upd]).count() == 1
+    tomb = lake.lookup_many([k_del], include_deleted=True).collect()
+    assert len(tomb) == 1 and tomb[0]["content"] is None
