@@ -1600,6 +1600,8 @@ class ParquetLake:
         in ONE LocalRelation job with the engine's own bucket function
         (bucket_expr over a local key list: no scan; the collect is
         bounded by the request size, not the table)."""
+        if not keys:
+            return {}
         rows = (
             self.spark.createDataFrame(keys, ["repo", "path"])
             .select("repo", "path", bucket_expr(self.n_buckets).alias("b"))
@@ -1684,14 +1686,15 @@ class ParquetLake:
             or (not meta["buckets"] and not meta.get("deltas"))
         ):
             return empty
-        wanted = sorted(set(self.key_buckets(keys).values()))
+        wset = set(self.key_buckets(keys).values())
+        wanted = sorted(wset)
         sub = dict(meta)
         sub["deltas"] = [
             d
             for d in meta.get("deltas", [])
             if not isinstance(d, dict)
             or "buckets" not in d
-            or any(b in {int(x) for x in d["buckets"]} for b in wanted)
+            or not wset.isdisjoint(int(x) for x in d["buckets"])
         ]
         base, delta = self._read_split(sub, extra_cols, buckets=wanted)
 

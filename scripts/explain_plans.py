@@ -306,20 +306,34 @@ def main() -> int:
         must=["PushedFilters"],
         must_not=["SortMergeJoin", "BatchEvalPython", "Window"],
     )
-    key_pushed = any(
-        "PushedFilters" in ln and "repo" in ln for ln in plan.splitlines()
+    # EVERY scan's PushedFilters must carry the key equality (the plan
+    # holds a base scan AND a delta scan; an any() over lines would let a
+    # base-side pushdown regression hide behind the delta scan's line)
+    pf_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    key_pushed = bool(pf_lines) and all(
+        "EqualTo(repo," in ln for ln in pf_lines
     )
     sections[-1][2].append(
-        f"{'OK ' if key_pushed else 'FAIL'} key equality inside PushedFilters"
+        f"{'OK ' if key_pushed else 'FAIL'} key equality inside every "
+        f"scan's PushedFilters ({len(pf_lines)} scans)"
     )
     if not key_pushed:
-        failures.append("lookup: key predicate not pushed to the scan")
+        failures.append("lookup: key predicate not pushed to every scan")
+    # base-file identification goes through the manifest's bucket paths:
+    # flat deltas are also partitioned by __bucket, so a bare
+    # "__bucket=" path match would miscount delta files as base buckets
+    meta4 = mor4.current_meta()
+    base_dirs = {b: "/" + rel + "/" for b, rel in meta4["buckets"].items()}
+
+    def base_buckets_listed(df) -> set:
+        files = df.inputFiles()
+        return {
+            b for b, prefix in base_dirs.items()
+            if any(prefix in f for f in files)
+        }
+
     lb = mor4.key_bucket(some["repo"], some["path"])
-    lk_dirs = {
-        f.split("__bucket=", 1)[1].split("/", 1)[0]
-        for f in looked.inputFiles()
-        if "__bucket=" in f
-    }
+    lk_dirs = base_buckets_listed(looked)
     one_bucket = lk_dirs <= {str(lb)}
     sections[-1][2].append(
         f"{'OK ' if one_bucket else 'FAIL'} base files from bucket {lb} only "
@@ -345,11 +359,7 @@ def main() -> int:
         must_not=["SortMergeJoin", "BatchEvalPython"],
     )
     want_dirs = {str(b) for b in mor4.key_buckets(many).values()}
-    got_dirs = {
-        f.split("__bucket=", 1)[1].split("/", 1)[0]
-        for f in batched.inputFiles()
-        if "__bucket=" in f
-    }
+    got_dirs = base_buckets_listed(batched)
     subset = got_dirs <= want_dirs
     sections[-1][2].append(
         f"{'OK ' if subset else 'FAIL'} base files from the {len(want_dirs)} "

@@ -55,7 +55,7 @@ def main() -> int:
 
     from pyspark_cdc import generate
     from pyspark_cdc.session import get_spark
-    from pyspark_cdc.sink import ParquetLake
+    from pyspark_cdc.sink import ParquetLake, bucket_expr
     from pyspark_cdc.stream import process_batch, replay_batch
 
     spark = get_spark(cores=cpus)
@@ -72,17 +72,23 @@ def main() -> int:
         lake = ParquetLake(spark, lake_dir, n_buckets=n_buckets, mode="mor",
                            compact_every=10**9)
         replay_batch(spark, log_dir, lake, batch_id=0)
-        lake._commit_snapshot(
-            lake._compact(lake.current_meta(), full=True))  # clean base
+        lake._compact(lake.current_meta(), full=True)  # commits a clean base
 
         delta_raw = generate.bulk_events_df(
             spark, max(100_000, n_events // 40), n_keys=n_keys, seed=7,
             content_words=content_words,
         )
+        # confine the wave with the ENGINE's bucket function (bucket_expr
+        # reads the repo/path columns), not a hand-rolled re-derivation
         key_t = F.from_json(F.col("key"), "repo string, path string")
-        bucket = F.pmod(
-            F.xxhash64(key_t["repo"], key_t["path"]), F.lit(n_buckets))
-        process_batch(delta_raw.where(bucket < subset_max_bucket), 1, lake)
+        confined = (
+            delta_raw
+            .withColumn("repo", key_t["repo"])
+            .withColumn("path", key_t["path"])
+            .where(bucket_expr(n_buckets) < subset_max_bucket)
+            .drop("repo", "path")
+        )
+        process_batch(confined, 1, lake)
         meta = lake.current_meta()
         assert meta["deltas"], "an outstanding backlog is part of the shape"
 

@@ -962,6 +962,15 @@ def test_lookup_many_prunes_to_key_buckets_both_strategies(spark, tmp_path):
     assert per_key == expect
     assert set(expect) == {k_upd, ("org/new", "fresh.py"), k_cold}
 
+    # base-file identification must go through the manifest's bucket
+    # paths: flat deltas are also partitioned by __bucket, so a bare
+    # "__bucket=" path match would miscount surviving delta files as
+    # base buckets
+    meta = lake.current_meta()
+    base_dirs = {
+        b: "/" + rel + "/" for b, rel in meta["buckets"].items()
+    }
+
     for pred_max in (64, 0):  # predicate path, then forced join path
         lake.LOOKUP_PREDICATE_MAX = pred_max
         got_df = lake.lookup_many(req)
@@ -969,10 +978,10 @@ def test_lookup_many_prunes_to_key_buckets_both_strategies(spark, tmp_path):
         assert got == expect, f"strategy pred_max={pred_max}"
         # base side reads ONLY the requested keys' bucket dirs
         want_dirs = {str(kb.get(k, lake.key_bucket(*k))) for k in req}
+        files = got_df.inputFiles()
         seen = {
-            f.split("__bucket=", 1)[1].split("/", 1)[0]
-            for f in got_df.inputFiles()
-            if "__bucket=" in f
+            b for b, prefix in base_dirs.items()
+            if any(prefix in f for f in files)
         }
         assert seen <= want_dirs, (pred_max, seen, want_dirs)
         plan = got_df._jdf.queryExecution().executedPlan().toString()
