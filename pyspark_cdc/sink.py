@@ -51,7 +51,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,6 +96,36 @@ RESERVED_COLS = frozenset(
 RECENT_BATCH_WINDOW = 1024
 # snapshots kept by expire_snapshots (time-travel horizon)
 SNAPSHOT_RETENTION = 8
+
+# ---- optimistic concurrency (decoupled maintenance vs ingest) ----
+# The commit lock is held ONLY for the O(ms) manifest check+write+swap,
+# never across a Spark job, so concurrent writers (the streaming ingest
+# job and a separate compaction/maintenance process — the Iceberg
+# operational model) serialize at metadata speed while their data jobs
+# overlap freely. Conflicts are resolved by REBASE (re-expressing the
+# commit's intent on the freshest snapshot) or, for folds whose inputs
+# were concurrently consumed, by aborting the fold (its output dir is
+# dropped; correctness is untouched because the table never referenced
+# it).
+COMMIT_LOCK_TIMEOUT_SEC = 30.0
+# a holder that died between acquire and release leaves the lock file
+# behind; commits are O(ms), so a lock this old is presumed dead
+COMMIT_LOCK_STALE_SEC = 30.0
+OCC_MAX_RETRIES = 5
+
+
+class CommitConflict(Exception):
+    """The table advanced past the snapshot this manifest was built on
+    (another writer committed first). Carries the fresh current manifest
+    so the caller can rebase without re-reading under the lock."""
+
+    def __init__(self, fresh_meta: dict, attempted: dict):
+        self.fresh_meta = fresh_meta
+        super().__init__(
+            f"snapshot {attempted.get('id')} was built on parent "
+            f"{attempted.get('parent')} but the current snapshot is "
+            f"{fresh_meta.get('id')}"
+        )
 
 # dead-letter taxonomy (status partition values of a parsed delta)
 DLQ_STATUSES = ("ok", "tombstone", "malformed", "unknown_op",
@@ -210,12 +242,13 @@ class ParquetLake:
         table_dir: str,
         n_buckets: int = 32,
         mode: str = "cow",
-        compact_every: int = 10,
+        compact_every: int | None = 10,
         tombstone_horizon_lsn: int | None = None,
         broadcast_delta_bytes: int = 32 * 1024 * 1024,
         major_every: int = 4,
         full_major: bool = False,
         minhash_bands: bool = False,
+        orphan_grace_sec: float = 0.0,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -223,6 +256,11 @@ class ParquetLake:
         self.table_dir = table_dir
         self.n_buckets = n_buckets
         self.mode = mode
+        # compact_every=None disables INLINE compaction entirely — the
+        # decoupled deployment mode where a separate maintenance process
+        # calls compact_now() while the ingest job only appends deltas
+        # (commit conflicts between the two resolve by rebase, see
+        # _commit_with_rebase).
         self.compact_every = compact_every
         # Tiered compaction (LSM-style): when the delta count reaches
         # compact_every, a MINOR compaction folds the deltas into ONE
@@ -258,6 +296,18 @@ class ParquetLake:
         # offset has been retained out. Compaction drops tombstones with
         # lsn < this horizon; None = retain forever (the safe default).
         self.tombstone_horizon_lsn = tombstone_horizon_lsn
+        # Orphan-removal grace period (the Iceberg remove_orphan_files
+        # `older_than` analog): with CONCURRENT writers, a data dir can be
+        # fully written but not yet referenced by any manifest (the
+        # writer is between its Spark job and its metadata commit), and
+        # expire_snapshots must not delete it. 0.0 (the single-writer
+        # default) keeps the historical eager behavior; decoupled
+        # deployments set it comfortably above the longest write job.
+        self.orphan_grace_sec = orphan_grace_sec
+        # test-only injection point: called before every optimistic
+        # commit attempt (see _commit_with_rebase) so tests can land a
+        # concurrent commit in the read->commit window deterministically
+        self._pre_commit_hook = None
         self._meta_dir = os.path.join(table_dir, "_meta")
         os.makedirs(self._meta_dir, exist_ok=True)
         # n_buckets is a CREATE-time table property: the base layout was
@@ -291,7 +341,101 @@ class ParquetLake:
         with open(os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")) as f:
             return json.load(f)
 
+    @contextmanager
+    def _commit_lock(self):
+        """Cross-process mutual exclusion for the metadata commit —
+        O_CREAT|O_EXCL on a lock file is atomic on POSIX filesystems.
+        Held only for the manifest check+write+swap (milliseconds,
+        data-size independent), NEVER across a Spark job, so writer
+        throughput is unaffected. A lock file older than
+        COMMIT_LOCK_STALE_SEC is presumed left by a crashed holder and
+        broken (best-effort: two breakers racing is harmless, the
+        O_EXCL acquire still admits exactly one)."""
+        lock_path = os.path.join(self._meta_dir, "commit.lock")
+        deadline = time.monotonic() + COMMIT_LOCK_TIMEOUT_SEC
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lock_path).st_mtime
+                except OSError:
+                    continue  # holder released between EXCL and stat
+                if age > COMMIT_LOCK_STALE_SEC:
+                    try:
+                        os.unlink(lock_path)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock_path} held for {age:.1f}s; "
+                        "another writer is stuck mid-commit"
+                    )
+                time.sleep(0.01)
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(lock_path)
+            except OSError:
+                pass
+
     def _commit_snapshot(self, meta: dict) -> None:
+        """Commit one manifest with optimistic concurrency control: under
+        the commit lock, the table must still be at meta['parent'] —
+        another writer having advanced it raises CommitConflict carrying
+        the fresh manifest (callers rebase via _commit_with_rebase).
+        Re-committing the CURRENT snapshot byte-identically is a no-op
+        (idempotent), so retries and wrap-the-return-value callers are
+        safe."""
+        with self._commit_lock():
+            current = self.current_meta()
+            current_id = current["id"] if current is not None else 0
+            if current_id != (meta.get("parent") or 0):
+                if current_id == meta["id"] and current == meta:
+                    return  # idempotent re-commit of the current snapshot
+                raise CommitConflict(current if current is not None else
+                                     self._empty_meta(), meta)
+            self._commit_snapshot_unlocked(meta)
+
+    def _commit_with_rebase(self, meta0: dict, build) -> dict | None:
+        """Optimistic-concurrency commit loop (the Iceberg commit model):
+        `build(snapshot) -> manifest|None` re-expresses ONE commit's
+        intent on top of an arbitrary current snapshot — append these
+        delta entries, or swap these folded buckets for these consumed
+        deltas — returning None when the intent no longer applies (the
+        batch was already applied by a concurrent writer; the fold's
+        input deltas were already consumed by a concurrent compaction).
+        The loop commits build(meta0); on CommitConflict it rebuilds on
+        the conflict's fresh manifest and retries. Returns the committed
+        manifest, or None when the commit aborted (caller drops any
+        now-orphaned output dir; expire_snapshots' grace period protects
+        other writers' in-flight dirs)."""
+        attempt = build(meta0)
+        if attempt is None:
+            return None
+        for _ in range(OCC_MAX_RETRIES + 1):
+            hook = self._pre_commit_hook
+            if hook is not None:
+                hook()
+            try:
+                self._commit_snapshot(attempt)
+                return attempt
+            except CommitConflict as c:
+                attempt = build(c.fresh_meta)
+                if attempt is None:
+                    return None
+        raise RuntimeError(
+            f"commit of snapshot built on {meta0.get('id')} did not "
+            f"converge after {OCC_MAX_RETRIES + 1} attempts — a writer "
+            "storm is outrunning the rebase loop"
+        )
+
+    def _commit_snapshot_unlocked(self, meta: dict) -> None:
         # fsync before the pointer swap: os.replace is atomic against
         # process crashes, but without durably flushed file contents a
         # power loss after the swap could leave `current` pointing at an
@@ -331,6 +475,21 @@ class ParquetLake:
             "batch_wm": -1,
             "recent_batch_ids": [],
         }
+
+    def _new_data_rel(self, prefix: str, meta: dict) -> str:
+        """Unique data-dir name per WRITE ATTEMPT (snapshot id + random
+        token). Concurrent writers that read the same snapshot must never
+        target the same path: with id-only names, writer B's
+        mode=overwrite job would clobber writer A's fully-written but
+        not-yet-committed dir, and the OCC rebase would then commit two
+        manifest entries aliasing one (half-overwritten) dir. The id
+        prefix is kept for human debuggability only — nothing parses it.
+        A crashed attempt now leaves a uniquely-named orphan instead of
+        being overwritten by the epoch retry; expire_snapshots removes
+        unreferenced dirs (subject to orphan_grace_sec)."""
+        return os.path.join(
+            "data", f"{prefix}{meta['id'] + 1}-{uuid.uuid4().hex[:8]}"
+        )
 
     @staticmethod
     def _batch_applied(meta: dict, batch_id) -> bool:
@@ -566,10 +725,13 @@ class ParquetLake:
             - RESERVED_COLS
         )
         if not touched:
-            new_meta = dict(self._with_batch(meta, batch_id),
-                            id=meta["id"] + 1, parent=meta["id"])
-            self._commit_snapshot(new_meta)
-            return {"status": "empty_batch", "batch_id": batch_id,
+            committed = self._commit_with_rebase(
+                meta, lambda m: None if self._batch_applied(m, batch_id)
+                else dict(self._with_batch(m, batch_id),
+                          id=m["id"] + 1, parent=m["id"]))
+            status = ("empty_batch" if committed is not None
+                      else "skipped_duplicate_batch")
+            return {"status": status, "batch_id": batch_id,
                     "side_rows": side_rows}
 
         # Additive schema evolution: union of stored and observed columns.
@@ -628,10 +790,21 @@ class ParquetLake:
         those buckets."""
         import time as _time
 
-        if meta.get("deltas"):
+        for _ in range(3):
+            if not meta.get("deltas"):
+                break
             # COW over a table with pending MoR deltas: fold them into the
             # base first so the bucket rewrite below sees every version.
+            # _compact may abort under a concurrent-writer conflict and
+            # return the fresh manifest (possibly with NEW deltas) — retry
+            # the fold on that; COW correctness requires a delta-free base.
             meta = self._compact(meta, full=self.full_major)
+        if meta.get("deltas"):
+            raise RuntimeError(
+                "COW merge could not clear the delta backlog: concurrent "
+                "writers keep advancing the table (COW mode expects a "
+                "single writer; use mode='mor' for concurrent ingest)"
+            )
 
         tgt = self._read_buckets(meta, touched, extra_cols)
         tgt = tgt.unionByName(src_flat, allowMissingColumns=True)
@@ -649,7 +822,7 @@ class ParquetLake:
             # the write, no extra exchange
             merged = fill_band_columns(merged)
 
-        data_rel = os.path.join("data", f"s{meta['id'] + 1}")
+        data_rel = self._new_data_rel("s", meta)
         out_dir = os.path.join(self.table_dir, data_rel)
 
         # The rewritten buckets and their route lists ride the rewrite's
@@ -675,38 +848,64 @@ class ParquetLake:
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
         pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
 
-        new_buckets = dict(meta["buckets"])
-        bucket_routes = dict(meta.get("bucket_routes", {}))
         written = {int(p["b"]) for p in pairs}
         routes_by_bucket: dict[str, set] = {}
         for p in pairs:
             if p["r"] is not None:
                 routes_by_bucket.setdefault(p["b"], set()).add(p["r"])
-        for b in touched:
-            if b in written:
-                new_buckets[str(b)] = os.path.join(
-                    data_rel, f"{BUCKET_COL}={b}"
-                )
-                bucket_routes[str(b)] = sorted(
-                    routes_by_bucket.get(str(b), set())
-                )
-            else:
-                new_buckets.pop(str(b), None)
-                bucket_routes.pop(str(b), None)
 
-        new_meta = {
-            "id": meta["id"] + 1,
-            "parent": meta["id"],
-            "n_buckets": self.n_buckets,
-            "minhash_bands": self.minhash_bands,
-            "extra_columns": extra_cols,
-            "buckets": new_buckets,
-            "bucket_routes": bucket_routes,
-            "deltas": meta.get("deltas", []),
-            **{k: v for k, v in self._with_batch(meta, batch_id).items()
-               if k in ("batch_wm", "recent_batch_ids")},
-        }
-        self._commit_snapshot(new_meta)
+        def build(m: dict) -> dict | None:
+            if self._batch_applied(m, batch_id):
+                return None  # a concurrent writer applied this batch
+            # The rewrite read meta's touched buckets and assumed a
+            # delta-free table; a concurrent commit that repointed any of
+            # them (or appended deltas) invalidates the output. Only
+            # metadata-neutral concurrent commits (empty batches) can be
+            # rebased over — COW is the single-writer batch mode.
+            if [d["path"] if isinstance(d, dict) else d
+                    for d in m.get("deltas", [])] != \
+               [d["path"] if isinstance(d, dict) else d
+                    for d in meta.get("deltas", [])] or any(
+                    m["buckets"].get(str(b)) != meta["buckets"].get(str(b))
+                    for b in touched):
+                raise RuntimeError(
+                    "COW merge conflicts with a concurrent data commit "
+                    "(COW mode expects a single writer; use mode='mor' "
+                    "for concurrent ingest + decoupled compaction)"
+                )
+            new_buckets = dict(m["buckets"])
+            bucket_routes = dict(m.get("bucket_routes", {}))
+            for b in touched:
+                if b in written:
+                    new_buckets[str(b)] = os.path.join(
+                        data_rel, f"{BUCKET_COL}={b}"
+                    )
+                    bucket_routes[str(b)] = sorted(
+                        routes_by_bucket.get(str(b), set())
+                    )
+                else:
+                    new_buckets.pop(str(b), None)
+                    bucket_routes.pop(str(b), None)
+            cols = list(m["extra_columns"])
+            cols += [c for c in extra_cols if c not in cols]
+            return {
+                "id": m["id"] + 1,
+                "parent": m["id"],
+                "n_buckets": self.n_buckets,
+                "minhash_bands": self.minhash_bands,
+                "extra_columns": cols,
+                "buckets": new_buckets,
+                "bucket_routes": bucket_routes,
+                "deltas": m.get("deltas", []),
+                **{k: v for k, v in self._with_batch(m, batch_id).items()
+                   if k in ("batch_wm", "recent_batch_ids")},
+            }
+
+        new_meta = self._commit_with_rebase(meta, build)
+        if new_meta is None:  # duplicate batch won the race: drop our write
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stats["status"] = "skipped_duplicate_batch"
+            return self.current_meta()
         return new_meta
 
     def _merge_mor(
@@ -721,7 +920,7 @@ class ParquetLake:
 
         from pyspark.sql import Observation
 
-        data_rel = os.path.join("data", f"d{meta['id'] + 1}")
+        data_rel = self._new_data_rel("d", meta)
         out_dir = os.path.join(self.table_dir, data_rel)
 
         # Route list for manifest-level tenant pruning rides the delta
@@ -738,28 +937,45 @@ class ParquetLake:
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         stats["write_sec"] = round(_time.monotonic() - t0, 3)
 
-        new_meta = {
-            "id": meta["id"] + 1,
-            "parent": meta["id"],
-            "n_buckets": self.n_buckets,
-            "minhash_bands": self.minhash_bands,
-            "extra_columns": extra_cols,
-            "buckets": dict(meta["buckets"]),
-            "bucket_routes": dict(meta.get("bucket_routes", {})),
-            "minor_count": meta.get("minor_count", 0),
-            "deltas": meta.get("deltas", [])
-            + [{"path": data_rel, "format": "flat",
-                "routes": sorted(
-                    self._obs_get(obs, out_dir, routes=[])["routes"] or []
-                ),
-                "buckets": sorted(int(b) for b in touched),
-                "bytes": self._tree_bytes(out_dir)}],
-            **{k: v for k, v in self._with_batch(meta, batch_id).items()
-               if k in ("batch_wm", "recent_batch_ids")},
+        delta_entry = {
+            "path": data_rel, "format": "flat",
+            "routes": sorted(
+                self._obs_get(obs, out_dir, routes=[])["routes"] or []
+            ),
+            "buckets": sorted(int(b) for b in touched),
+            "bytes": self._tree_bytes(out_dir),
         }
-        self._commit_snapshot(new_meta)  # batch durable before compaction
 
-        if self._raw_delta_count(new_meta) >= self.compact_every:
+        def build(m: dict) -> dict | None:
+            if self._batch_applied(m, batch_id):
+                return None  # a concurrent writer applied this batch
+            cols = list(m["extra_columns"])
+            cols += [c for c in extra_cols if c not in cols]
+            return {
+                "id": m["id"] + 1,
+                "parent": m["id"],
+                "n_buckets": self.n_buckets,
+                "minhash_bands": self.minhash_bands,
+                "extra_columns": cols,
+                "buckets": dict(m["buckets"]),
+                "bucket_routes": dict(m.get("bucket_routes", {})),
+                "minor_count": m.get("minor_count", 0),
+                "deltas": m.get("deltas", []) + [delta_entry],
+                **{k: v for k, v in self._with_batch(m, batch_id).items()
+                   if k in ("batch_wm", "recent_batch_ids")},
+            }
+
+        # batch durable before compaction; a delta append rebases over ANY
+        # concurrent commit (compaction folds consume only deltas already
+        # in the manifest they read, never this not-yet-committed one)
+        new_meta = self._commit_with_rebase(meta, build)
+        if new_meta is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stats["status"] = "skipped_duplicate_batch"
+            return self.current_meta()
+
+        if (self.compact_every is not None
+                and self._raw_delta_count(new_meta) >= self.compact_every):
             t0 = _time.monotonic()
             new_meta = self._maybe_compact(new_meta)
             stats["compact_sec"] = round(_time.monotonic() - t0, 3)
@@ -805,7 +1021,7 @@ class ParquetLake:
         obs = Observation(f"merge_parsed_{batch_id}")
         src = parsed.observe(obs, *_merge_obs_aggs(self.n_buckets))
 
-        data_rel = os.path.join("data", f"d{meta['id'] + 1}")
+        data_rel = self._new_data_rel("d", meta)
         out_dir = os.path.join(self.table_dir, data_rel)
         t0 = _time.monotonic()
         # status-ONLY partitioning: the dead-letter statuses stay cheap to
@@ -840,9 +1056,13 @@ class ParquetLake:
 
         if got["n_records"] == 0:
             shutil.rmtree(out_dir, ignore_errors=True)
-            new_meta = dict(self._with_batch(meta, batch_id),
-                            id=meta["id"] + 1, parent=meta["id"])
-            self._commit_snapshot(new_meta)
+            new_meta = self._commit_with_rebase(
+                meta, lambda m: None if self._batch_applied(m, batch_id)
+                else dict(self._with_batch(m, batch_id),
+                          id=m["id"] + 1, parent=m["id"]))
+            if new_meta is None:
+                stats["status"] = "skipped_duplicate_batch"
+                return stats
             stats["status"] = "empty_batch"
             stats["snapshot"] = new_meta["id"]
             return stats
@@ -856,34 +1076,51 @@ class ParquetLake:
         stats["new_columns"] = new_cols
 
         t_meta = _time.monotonic()
-        new_meta = {
-            "id": meta["id"] + 1,
-            "parent": meta["id"],
-            "n_buckets": self.n_buckets,
-            "minhash_bands": self.minhash_bands,
-            "extra_columns": extra_cols,
-            "buckets": dict(meta["buckets"]),
-            "bucket_routes": dict(meta.get("bucket_routes", {})),
-            "minor_count": meta.get("minor_count", 0),
-            "deltas": meta.get("deltas", [])
-            + [{"path": data_rel, "format": "parsed",
-                "routes": sorted(got["ok_routes"] or []),
-                # touched key-hash buckets recorded at commit so a MAJOR
-                # fold reads only these base buckets (subset major)
-                "buckets": sorted(int(b) for b in got["ok_buckets"] or []),
-                # ok-partition bytes recorded at commit (one filesystem
-                # summary call over the just-written files) so read()'s
-                # broadcast-vs-aggregate switch never re-walks the tree
-                # and never counts dead-letter bytes
-                "bytes": self._tree_bytes(os.path.join(out_dir, "status=ok"))}],
-            **{k: v for k, v in self._with_batch(meta, batch_id).items()
-               if k in ("batch_wm", "recent_batch_ids")},
+        delta_entry = {
+            "path": data_rel, "format": "parsed",
+            "routes": sorted(got["ok_routes"] or []),
+            # touched key-hash buckets recorded at commit so a MAJOR
+            # fold reads only these base buckets (subset major)
+            "buckets": sorted(int(b) for b in got["ok_buckets"] or []),
+            # ok-partition bytes recorded at commit (one filesystem
+            # summary call over the just-written files) so read()'s
+            # broadcast-vs-aggregate switch never re-walks the tree
+            # and never counts dead-letter bytes
+            "bytes": self._tree_bytes(os.path.join(out_dir, "status=ok")),
         }
-        self._commit_snapshot(new_meta)  # batch durable before compaction
+
+        def build(m: dict) -> dict | None:
+            if self._batch_applied(m, batch_id):
+                return None  # a concurrent writer applied this batch
+            cols = list(m["extra_columns"])
+            cols += [c for c in extra_cols if c not in cols]
+            return {
+                "id": m["id"] + 1,
+                "parent": m["id"],
+                "n_buckets": self.n_buckets,
+                "minhash_bands": self.minhash_bands,
+                "extra_columns": cols,
+                "buckets": dict(m["buckets"]),
+                "bucket_routes": dict(m.get("bucket_routes", {})),
+                "minor_count": m.get("minor_count", 0),
+                "deltas": m.get("deltas", []) + [delta_entry],
+                **{k: v for k, v in self._with_batch(m, batch_id).items()
+                   if k in ("batch_wm", "recent_batch_ids")},
+            }
+
+        # batch durable before compaction; a delta append rebases over ANY
+        # concurrent commit — a decoupled compaction's fold can only have
+        # consumed deltas that were in the manifest it read, never this one
+        new_meta = self._commit_with_rebase(meta, build)
+        if new_meta is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stats["status"] = "skipped_duplicate_batch"
+            return stats
         timings["commit_ms"] = round((_time.monotonic() - t_meta) * 1000, 1)
         stats["delta_dir"] = out_dir
 
-        if self._raw_delta_count(new_meta) >= self.compact_every:
+        if (self.compact_every is not None
+                and self._raw_delta_count(new_meta) >= self.compact_every):
             t0 = _time.monotonic()
             new_meta = self._maybe_compact(new_meta)
             stats["compact_sec"] = round(_time.monotonic() - t0, 3)
@@ -988,7 +1225,7 @@ class ParquetLake:
             F.collect_set(F.col(BUCKET_COL)).alias("buckets"),
         )
 
-        data_rel = os.path.join("data", f"m{meta['id'] + 1}")
+        data_rel = self._new_data_rel("m", meta)
         out_dir = os.path.join(self.table_dir, data_rel)
         merged.write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         got = self._obs_get(obs, out_dir, n_rows=0, routes=[], buckets=[])
@@ -1012,14 +1249,36 @@ class ParquetLake:
         if not wrote_rows:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-        new_meta = {
-            **{k: v for k, v in meta.items()},
-            "id": meta["id"] + 1,
-            "parent": meta["id"],
-            "deltas": folded,
-            "minor_count": meta.get("minor_count", 0) + 1,
-        }
-        self._commit_snapshot(new_meta)
+        # Optimistic commit: the fold consumed exactly meta's delta set.
+        # Rebase over concurrent INGEST commits by keeping their newer
+        # deltas outstanding (LWW is order-insensitive, so list position
+        # doesn't matter); abort if a concurrent COMPACTION already
+        # consumed any input (our fold is then stale duplicate work —
+        # dropping it is exact because the table never referenced it).
+        consumed = {d["path"] if isinstance(d, dict) else d
+                    for d in meta.get("deltas", [])}
+
+        def build(m: dict) -> dict | None:
+            m_paths = {d["path"] if isinstance(d, dict) else d
+                       for d in m.get("deltas", [])}
+            if not consumed <= m_paths:
+                return None
+            return {
+                **{k: v for k, v in m.items()},
+                "id": m["id"] + 1,
+                "parent": m["id"],
+                "deltas": folded + [
+                    d for d in m.get("deltas", [])
+                    if (d["path"] if isinstance(d, dict) else d)
+                    not in consumed
+                ],
+                "minor_count": m.get("minor_count", 0) + 1,
+            }
+
+        new_meta = self._commit_with_rebase(meta, build)
+        if new_meta is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return self.current_meta()
         self.expire_snapshots()
         return new_meta
 
@@ -1124,7 +1383,7 @@ class ParquetLake:
             ).alias("pairs"),
         )
 
-        data_rel = os.path.join("data", f"s{meta['id'] + 1}")
+        data_rel = self._new_data_rel("s", meta)
         out_dir = os.path.join(self.table_dir, data_rel)
         merged.write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
         pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
@@ -1138,45 +1397,79 @@ class ParquetLake:
             if p["r"] is not None:
                 routes_by_bucket.setdefault(p["b"], set()).add(p["r"])
         written = {int(p["b"]) for p in pairs}
-        if touched is None:
-            # full fold: the new base is exactly what the fold wrote
-            new_buckets = {
-                str(b): os.path.join(data_rel, f"{BUCKET_COL}={b}")
-                for b in sorted(written)
+
+        # Optimistic commit (the Iceberg RewriteFiles model): the fold is
+        # a pure function of (the base buckets it read, the delta set it
+        # consumed). Rebase over concurrent INGEST commits — their new
+        # deltas stay outstanding, strictly newer than anything folded,
+        # so LWW over (folded base ∪ new deltas) is exact. Abort when a
+        # concurrent compaction consumed any input delta or repointed any
+        # base bucket the fold read: the output is then built on stale
+        # inputs and is simply dropped (never referenced, so exact).
+        consumed = {d["path"] if isinstance(d, dict) else d
+                    for d in meta.get("deltas", [])}
+        read_buckets = (list(meta["buckets"]) if touched is None
+                        else [str(b) for b in touched])
+
+        def build(m: dict) -> dict | None:
+            m_paths = {d["path"] if isinstance(d, dict) else d
+                       for d in m.get("deltas", [])}
+            if not consumed <= m_paths:
+                return None
+            if any(m["buckets"].get(b) != meta["buckets"].get(b)
+                   for b in read_buckets):
+                return None
+            if touched is None and set(m["buckets"]) != set(meta["buckets"]):
+                return None  # full fold must have read the whole base
+            if touched is None:
+                # full fold: the new base is exactly what the fold wrote
+                new_buckets = {
+                    str(b): os.path.join(data_rel, f"{BUCKET_COL}={b}")
+                    for b in sorted(written)
+                }
+                bucket_routes = {
+                    b: sorted(routes_by_bucket.get(b, set()))
+                    for b in new_buckets
+                }
+            else:
+                # subset fold: untouched buckets carry forward by
+                # reference; touched buckets repoint to the fresh fold
+                # output (or drop out entirely when the fold left them
+                # empty)
+                new_buckets = dict(m["buckets"])
+                bucket_routes = dict(m.get("bucket_routes", {}))
+                for b in sorted(set(touched) | written):
+                    if b in written:
+                        new_buckets[str(b)] = os.path.join(
+                            data_rel, f"{BUCKET_COL}={b}"
+                        )
+                        bucket_routes[str(b)] = sorted(
+                            routes_by_bucket.get(str(b), set())
+                        )
+                    else:
+                        new_buckets.pop(str(b), None)
+                        bucket_routes.pop(str(b), None)
+            return {
+                "id": m["id"] + 1,
+                "parent": m["id"],
+                "n_buckets": self.n_buckets,
+                "minhash_bands": self.minhash_bands,
+                "extra_columns": list(m["extra_columns"]),
+                "buckets": new_buckets,
+                "bucket_routes": bucket_routes,
+                "deltas": [
+                    d for d in m.get("deltas", [])
+                    if (d["path"] if isinstance(d, dict) else d)
+                    not in consumed
+                ],
+                **{k: v for k, v in m.items()
+                   if k in ("batch_wm", "recent_batch_ids", "batch_ids")},
             }
-            bucket_routes = {
-                b: sorted(routes_by_bucket.get(b, set())) for b in new_buckets
-            }
-        else:
-            # subset fold: untouched buckets carry forward by reference;
-            # touched buckets repoint to the fresh fold output (or drop
-            # out entirely when the fold left them empty)
-            new_buckets = dict(meta["buckets"])
-            bucket_routes = dict(meta.get("bucket_routes", {}))
-            for b in sorted(set(touched) | written):
-                if b in written:
-                    new_buckets[str(b)] = os.path.join(
-                        data_rel, f"{BUCKET_COL}={b}"
-                    )
-                    bucket_routes[str(b)] = sorted(
-                        routes_by_bucket.get(str(b), set())
-                    )
-                else:
-                    new_buckets.pop(str(b), None)
-                    bucket_routes.pop(str(b), None)
-        new_meta = {
-            "id": meta["id"] + 1,
-            "parent": meta["id"],
-            "n_buckets": self.n_buckets,
-            "minhash_bands": self.minhash_bands,
-            "extra_columns": extra_cols,
-            "buckets": new_buckets,
-            "bucket_routes": bucket_routes,
-            "deltas": [],
-            **{k: v for k, v in meta.items()
-               if k in ("batch_wm", "recent_batch_ids", "batch_ids")},
-        }
-        self._commit_snapshot(new_meta)
+
+        new_meta = self._commit_with_rebase(meta, build)
+        if new_meta is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return self.current_meta()
         # compaction doubles commit frequency vs plain appends, so it also
         # pays for the cleanup: expire old snapshots + orphaned data dirs
         self.expire_snapshots()
@@ -1186,9 +1479,14 @@ class ParquetLake:
         """Retention maintenance (Iceberg expire_snapshots + delete-orphans
         analog): keep the newest `keep_last` snapshot manifests, delete the
         older snap-*.json files, and remove data/* dirs referenced by NO
-        kept snapshot. Bounds disk growth of the long-running tail job;
-        single-writer, so no reader can hold an expired snapshot here (a
-        shared deployment would add a grace period)."""
+        kept snapshot. Bounds disk growth of the long-running tail job.
+        Concurrent-writer deployments set orphan_grace_sec above their
+        longest write job so another writer's fully-written but
+        not-yet-committed dir is never swept (see the age check below);
+        a carried-forward dir is always safe because the parent snapshot
+        that references it is always in the kept set. Readers holding an
+        expired snapshot are the remaining single-process assumption (a
+        shared catalog would add a reader lease)."""
         meta = self.current_meta()
         if meta is None:
             return {"removed_snapshots": 0, "removed_dirs": 0}
@@ -1227,10 +1525,49 @@ class ParquetLake:
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 rel = os.path.join("data", d)
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                    removed_dirs += 1
+                if rel in referenced:
+                    continue
+                # Concurrent-writer safety (Iceberg remove_orphan_files
+                # `older_than` analog): an unreferenced dir younger than
+                # the grace period may be another writer's fully-written
+                # but not-yet-committed output — deleting it would lose
+                # its commit. The single-writer default (grace 0) keeps
+                # eager cleanup.
+                if self.orphan_grace_sec > 0:
+                    try:
+                        age = time.time() - os.stat(
+                            os.path.join(data_root, d)).st_mtime
+                    except OSError:
+                        continue  # vanished: another expire got it
+                    if age < self.orphan_grace_sec:
+                        continue
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed_dirs += 1
         return {"removed_snapshots": removed_snaps, "removed_dirs": removed_dirs}
+
+    def compact_now(self, tier: str = "auto", full: bool = False) -> dict:
+        """Decoupled-maintenance compaction entry point: fold the current
+        outstanding backlog from a SEPARATE process while the ingest job
+        keeps appending (construct the lake with compact_every=None there,
+        and give both writers an orphan_grace_sec above the longest write
+        job). Commit conflicts with concurrent ingest commits rebase
+        automatically — their deltas stay outstanding for the next run —
+        and a conflict with another compaction aborts this fold cleanly
+        (the loser's output dir is dropped, the table is untouched).
+
+        tier='auto' follows the tiered policy (minor folds, every
+        major_every-th one major), 'minor'/'major' force a tier; full=True
+        forces a full-table (non-subset) major. Returns the resulting
+        current manifest (unchanged when there was nothing to fold or the
+        fold aborted)."""
+        meta = self.current_meta()
+        if meta is None or not meta.get("deltas"):
+            return meta if meta is not None else self._empty_meta()
+        if tier == "minor":
+            return self._compact_minor(meta)
+        if tier == "major" or full:
+            return self._compact(meta, full=full or self.full_major)
+        return self._maybe_compact(meta)
 
     def _normalize_rows(self, df: DataFrame, extra_cols: list[str]) -> DataFrame:
         """Full row schema: bucket dropped, every route/extra (and, when

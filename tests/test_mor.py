@@ -126,8 +126,11 @@ def test_compaction_expires_snapshots_and_orphan_dirs(spark, tmp_path):
 def test_crash_between_delta_write_and_commit_is_safe(spark, tmp_path):
     """A crash AFTER the delta write but BEFORE the manifest commit
     leaves an orphan data dir and no snapshot; Structured Streaming
-    retries the epoch, whose write (mode=overwrite on the same next
-    snapshot id) replaces the orphan — final state is exact."""
+    retries the epoch, whose write lands in a FRESH uniquely-named dir
+    (names are per-attempt since the OCC work — concurrent writers must
+    never share a target path), so the orphan is never read: no manifest
+    references it, and expire_snapshots sweeps it. Final state is exact
+    even with corrupt garbage left at the crashed attempt's path."""
     import json as _json
     import os as _os
 
