@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                     help="force full-table (non-subset) majors")
     ap.add_argument("--min-deltas", type=int, default=1,
                     help="fold only when the raw-delta backlog reaches N")
+    ap.add_argument("--rebucket", type=int, metavar="NEW_N",
+                    help="bucket-count evolution: rewrite the whole table "
+                         "under NEW_N key-hash buckets (one atomic commit; "
+                         "aborts on any concurrent commit — exit code 3 — "
+                         "so cron can retry in a quiet window), then exit")
     ap.add_argument("--once", action="store_true",
                     help="fold at most once and exit (cron deployment)")
     ap.add_argument("--poll-sec", type=float, default=5.0)
@@ -64,6 +69,17 @@ def main(argv=None) -> int:
         compact_every=None, major_every=args.major_every,
         orphan_grace_sec=args.orphan_grace_sec,
     )
+
+    if args.rebucket:
+        t0 = time.monotonic()
+        new_meta = lake.rebucket(args.rebucket)
+        print(json.dumps({
+            "event": "rebucket", "new_n_buckets": args.rebucket,
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "snapshot": new_meta.get("id") if new_meta else None,
+            "aborted": new_meta is None,
+        }), flush=True)
+        return 0 if new_meta is not None else 3
 
     t_start = time.monotonic()
     folds = 0

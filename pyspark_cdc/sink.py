@@ -491,6 +491,28 @@ class ParquetLake:
             "data", f"{prefix}{meta['id'] + 1}-{uuid.uuid4().hex[:8]}"
         )
 
+    def _check_writer_modulus(self, m: dict) -> None:
+        """Commit-time guard for bucket-count evolution: everything this
+        writer wrote (bucket dirs, touched-bucket lists) was hashed with
+        self.n_buckets, so committing it onto a snapshot that was
+        REBUCKETED underneath (rebucket()) would silently corrupt the
+        bucket maps — and a manifest rebuilt from self's fields would
+        even revert the table's n_buckets. Raising (instead of the OCC
+        abort) is deliberate for INGEST writers: an abort is reported as
+        skipped_duplicate_batch, which would advance the streaming
+        checkpoint past a batch that was never applied. The raise fails
+        the micro-batch before the checkpoint commits; the operator
+        reopens the lake (adopting the new count) and the same epoch
+        replays idempotently."""
+        mn = m.get("n_buckets") or self.n_buckets
+        if mn != self.n_buckets:
+            raise RuntimeError(
+                f"table at {self.table_dir} was rebucketed underneath this "
+                f"writer ({self.n_buckets} -> {mn} buckets): reopen the "
+                "lake (ParquetLake adopts the manifest's bucket count at "
+                "construction) and retry the batch"
+            )
+
     @staticmethod
     def _batch_applied(meta: dict, batch_id) -> bool:
         if "batch_ids" in meta:  # pre-watermark manifest
@@ -857,6 +879,7 @@ class ParquetLake:
         def build(m: dict) -> dict | None:
             if self._batch_applied(m, batch_id):
                 return None  # a concurrent writer applied this batch
+            self._check_writer_modulus(m)
             # The rewrite read meta's touched buckets and assumed a
             # delta-free table; a concurrent commit that repointed any of
             # them (or appended deltas) invalidates the output. Only
@@ -949,6 +972,7 @@ class ParquetLake:
         def build(m: dict) -> dict | None:
             if self._batch_applied(m, batch_id):
                 return None  # a concurrent writer applied this batch
+            self._check_writer_modulus(m)
             cols = list(m["extra_columns"])
             cols += [c for c in extra_cols if c not in cols]
             return {
@@ -1092,6 +1116,7 @@ class ParquetLake:
         def build(m: dict) -> dict | None:
             if self._batch_applied(m, batch_id):
                 return None  # a concurrent writer applied this batch
+            self._check_writer_modulus(m)
             cols = list(m["extra_columns"])
             cols += [c for c in extra_cols if c not in cols]
             return {
@@ -1259,6 +1284,10 @@ class ParquetLake:
                     for d in meta.get("deltas", [])}
 
         def build(m: dict) -> dict | None:
+            if (m.get("n_buckets") or self.n_buckets) != self.n_buckets:
+                return None  # rebucketed underneath: this fold's output
+                # (bucket lists, dirs) is hashed with the OLD modulus —
+                # abort; the rebucket already folded the whole backlog
             m_paths = {d["path"] if isinstance(d, dict) else d
                        for d in m.get("deltas", [])}
             if not consumed <= m_paths:
@@ -1412,6 +1441,10 @@ class ParquetLake:
                         else [str(b) for b in touched])
 
         def build(m: dict) -> dict | None:
+            if (m.get("n_buckets") or self.n_buckets) != self.n_buckets:
+                return None  # rebucketed underneath: the fold's buckets
+                # are hashed with the OLD modulus — abort (exact: the
+                # rebucket consumed every delta this fold read)
             m_paths = {d["path"] if isinstance(d, dict) else d
                        for d in m.get("deltas", [])}
             if not consumed <= m_paths:
@@ -1568,6 +1601,126 @@ class ParquetLake:
         if tier == "major" or full:
             return self._compact(meta, full=full or self.full_major)
         return self._maybe_compact(meta)
+
+    def rebucket(self, new_n_buckets: int) -> dict | None:
+        """Bucket-count evolution (the Iceberg partition-spec-evolution +
+        rewrite_data_files analog): rewrite the WHOLE table — base plus
+        outstanding deltas, LWW-resolved — into a fresh base hashed with
+        the NEW bucket modulus, flipping the manifest's n_buckets in the
+        same atomic commit. A creation-time bucket count is the one
+        layout decision that goes stale as a lake grows 1000x: at 10^10
+        events, 64 buckets means ~1.5 TB per bucket — every COW rewrite,
+        subset fold, and point lookup degrades with it. rebucket() is the
+        planned full-table maintenance op (run rarely, from the
+        decoupled maintenance process) that resets that decision without
+        recreating the table.
+
+        Concurrency: the rewrite's output is hashed under a modulus NO
+        concurrent writer knows yet, so unlike a compaction it cannot
+        rebase — it ABORTS on ANY concurrent commit (returns None, the
+        never-referenced output dir is dropped; retry when the table is
+        quiescent). The reverse race is guarded at every writer's commit:
+        an ingest commit raises (fail the micro-batch BEFORE its
+        checkpoint commits — _check_writer_modulus) and a concurrent
+        fold aborts, so a stale writer can never corrupt the new layout.
+        Readers are safe by construction — read() follows manifest paths,
+        and lookup()/lookup_many() take the modulus from the manifest
+        they read (including time travel ACROSS a rebucket boundary).
+
+        Tombstone-horizon expiry applies everywhere (it is a full
+        rewrite — every bucket is 'touched'). Returns the committed
+        manifest, or None if a concurrent commit aborted the rebucket."""
+        from pyspark.sql import Observation
+
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        meta = self.current_meta()
+        if meta is None:
+            meta = self._empty_meta()
+        if (meta.get("n_buckets") or self.n_buckets) == new_n_buckets:
+            self.n_buckets = new_n_buckets
+            return meta  # already at the requested count: no-op
+
+        extra_cols = list(meta["extra_columns"])
+        base, delta = self._read_split(meta, extra_cols)
+        if base is None and delta is None:
+            fold_in = self.spark.createDataFrame(
+                [], self._row_schema(extra_cols)
+            ).drop(BUCKET_COL)
+        elif base is None:
+            fold_in = delta
+        elif delta is None:
+            fold_in = base
+        else:
+            fold_in = base.unionByName(delta, allowMissingColumns=True)
+        # same single-exchange fold as a full major, but clustered on the
+        # NEW modulus: one shuffle re-homes every row to its new bucket
+        merged = resolve_lww_clustered(
+            fold_in.withColumn(BUCKET_COL, bucket_expr(new_n_buckets)),
+            new_n_buckets,
+        )
+        if self.tombstone_horizon_lsn is not None:
+            merged = merged.filter(
+                ~(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    & (F.col(LSN_COL) < F.lit(self.tombstone_horizon_lsn))
+                )
+            )
+        if self.minhash_bands:
+            merged = fill_band_columns(merged)
+
+        obs = Observation(f"rebucket_{meta['id'] + 1}")
+        merged = merged.observe(
+            obs,
+            F.collect_set(
+                F.struct(
+                    F.col(BUCKET_COL).cast("string").alias("b"),
+                    F.col(ROUTE_COL).alias("r"),
+                )
+            ).alias("pairs"),
+        )
+        data_rel = self._new_data_rel("s", meta)
+        out_dir = os.path.join(self.table_dir, data_rel)
+        merged.write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
+        pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
+        if not pairs:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+        routes_by_bucket: dict[str, set] = {}
+        for p in pairs:
+            if p["r"] is not None:
+                routes_by_bucket.setdefault(p["b"], set()).add(p["r"])
+        written = {int(p["b"]) for p in pairs}
+
+        def build(m: dict) -> dict | None:
+            if m["id"] != meta["id"]:
+                return None  # any concurrent commit invalidates the rewrite
+            return {
+                "id": m["id"] + 1,
+                "parent": m["id"],
+                "n_buckets": new_n_buckets,
+                "minhash_bands": self.minhash_bands,
+                "extra_columns": list(m["extra_columns"]),
+                "buckets": {
+                    str(b): os.path.join(data_rel, f"{BUCKET_COL}={b}")
+                    for b in sorted(written)
+                },
+                "bucket_routes": {
+                    str(b): sorted(routes_by_bucket.get(str(b), set()))
+                    for b in sorted(written)
+                },
+                "deltas": [],
+                **{k: v for k, v in m.items()
+                   if k in ("batch_wm", "recent_batch_ids", "batch_ids")},
+            }
+
+        new_meta = self._commit_with_rebase(meta, build)
+        if new_meta is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        self.n_buckets = new_n_buckets
+        self.expire_snapshots()
+        return new_meta
 
     def _normalize_rows(self, df: DataFrame, extra_cols: list[str]) -> DataFrame:
         """Full row schema: bucket dropped, every route/extra (and, when
@@ -1931,17 +2084,21 @@ class ParquetLake:
         return self.key_buckets([(repo, path)])[(repo, path)]
 
     def key_buckets(
-        self, keys: list[tuple[str, str]]
+        self, keys: list[tuple[str, str]], n_buckets: int | None = None
     ) -> dict[tuple[str, str], int]:
         """key -> key-hash bucket for a batch of primary keys, computed
         in ONE LocalRelation job with the engine's own bucket function
         (bucket_expr over a local key list: no scan; the collect is
-        bounded by the request size, not the table)."""
+        bounded by the request size, not the table). n_buckets overrides
+        the instance's modulus — lookups pass the modulus of the MANIFEST
+        they read, so they stay correct when another process rebucket()ed
+        the table, and when time-traveling across a rebucket boundary."""
         if not keys:
             return {}
         rows = (
             self.spark.createDataFrame(keys, ["repo", "path"])
-            .select("repo", "path", bucket_expr(self.n_buckets).alias("b"))
+            .select("repo", "path",
+                    bucket_expr(n_buckets or self.n_buckets).alias("b"))
             .collect()
         )
         return {(r["repo"], r["path"]): int(r["b"]) for r in rows}
@@ -2023,7 +2180,9 @@ class ParquetLake:
             or (not meta["buckets"] and not meta.get("deltas"))
         ):
             return empty
-        wset = set(self.key_buckets(keys).values())
+        wset = set(
+            self.key_buckets(keys, n_buckets=meta.get("n_buckets")).values()
+        )
         wanted = sorted(wset)
         sub = dict(meta)
         sub["deltas"] = [

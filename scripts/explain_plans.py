@@ -369,6 +369,36 @@ def main() -> int:
         failures.append("lookup_many: base scan lists buckets beyond the keys'")
     mor4.LOOKUP_PREDICATE_MAX = ParquetLake.LOOKUP_PREDICATE_MAX
 
+    # 4f. rebucket fold (round 5, bucket-count evolution): the whole-table
+    # rewrite is the same single-exchange fold as a full major, clustered
+    # on the NEW modulus — exactly one hash exchange, keyed by the new
+    # bucket expression, no Python, no window.
+    from pyspark_cdc.sink import resolve_lww_clustered
+
+    meta4b = mor4.current_meta()
+    extra4 = list(meta4b["extra_columns"])
+    rb_base, rb_delta = mor4._read_split(meta4b, extra4)
+    rb_in = rb_base.unionByName(rb_delta, allowMissingColumns=True)
+    rb = resolve_lww_clustered(
+        rb_in.withColumn(BUCKET_COL, bucket_expr(48)), 48
+    )
+    plan = formatted(rb)
+    check(
+        "rebucket fold (one exchange on the NEW modulus)",
+        plan,
+        must=["partial_max_by"],
+        must_not=["BatchEvalPython", "Window", "SortMergeJoin"],
+    )
+    n_rb_ex = plan.count(f"hashpartitioning({BUCKET_COL}")
+    sections[-1][2].append(
+        f"{'OK ' if n_rb_ex == 1 else 'FAIL'} exactly one hash exchange on "
+        f"the new bucket column (found {n_rb_ex})"
+    )
+    if n_rb_ex != 1:
+        failures.append(
+            f"rebucket fold: {n_rb_ex} bucket-keyed exchanges, want exactly 1"
+        )
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.
