@@ -178,6 +178,49 @@ def test_tombstone_horizon_interleavings_match_oracle(
     _assert_matches_oracle(got, recs)
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events, data=st.data())
+def test_rebucket_amid_interleavings_matches_oracle(
+    spark, tmp_path_factory, evs, data
+):
+    """A bucket-count evolution (rebucket — up OR down, including to a
+    single bucket) fired between ARBITRARY micro-batches must be
+    invisible to readers: the final state equals the oracle, with the
+    tiered compaction (both tiers, compact_every=2/major_every=2)
+    continuing on the new layout after the flip."""
+    recs = [_record(e, off) for off, e in enumerate(evs)]
+    n_splits = data.draw(st.integers(0, min(2, len(recs) - 1)), label="n_splits")
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, max(1, len(recs) - 1)),
+                     min_size=n_splits, max_size=n_splits),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(recs)]:
+        if recs[prev:c]:
+            batches.append(recs[prev:c])
+        prev = c
+    rebucket_at = data.draw(st.integers(0, len(batches)), label="rebucket_at")
+    new_n = data.draw(st.sampled_from([1, 2, 8, 16]), label="new_n")
+
+    tmp = str(tmp_path_factory.mktemp("prop_lake"))
+    lake = ParquetLake(spark, tmp, n_buckets=4, mode="mor",
+                       compact_every=2, major_every=2)
+    for i, batch in enumerate(batches):
+        if i == rebucket_at:
+            assert lake.rebucket(new_n) is not None  # quiescent: no race
+        df = spark.createDataFrame(batch, schema=KAFKA_SHAPE)
+        process_batch(df, i, lake)
+    if rebucket_at == len(batches):
+        assert lake.rebucket(new_n) is not None
+    assert lake.current_meta()["n_buckets"] == new_n
+    got = {(r["repo"], r["path"]): r.asDict() for r in lake.read().collect()}
+    _assert_matches_oracle(got, recs)
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(evs=_events, data=st.data())
