@@ -198,6 +198,32 @@ def test_stale_ingest_writer_raises_after_rebucket(spark, tmp_path):
     assert _state(reopened) == _oracle_state(r0 + r1)
 
 
+def test_rebucket_carries_stored_dedup_signatures(spark, tmp_path):
+    """On a minhash_bands=True lake, the rebucket rewrite must carry the
+    at-ingest band signatures through to the new layout (fill applies to
+    unsigned delta winners; already-stored signatures pass untouched) —
+    the incremental-dedup contract survives a layout change."""
+    from pyspark_cdc.signatures import SIG_COLS, with_band_columns
+
+    lake = _mor(spark, tmp_path / "t", minhash_bands=True)
+    b0, r0 = _upserts(spark, range(10), 1, 100)
+    process_batch(b0, 0, lake)
+    b1, r1 = _upserts(spark, range(0, 10, 3), 2, 200)
+    process_batch(b1, 1, lake)  # raw backlog: winners sign at the fold
+
+    assert lake.rebucket(16) is not None
+    stored = lake.read(keep_signatures=True)
+    assert set(SIG_COLS) <= set(stored.columns)
+    fresh = with_band_columns(stored.drop(*SIG_COLS))
+    s = {tuple(r) for r in stored.select("repo", "path", *SIG_COLS).collect()}
+    f = {tuple(r) for r in fresh.select("repo", "path", *SIG_COLS).collect()}
+    assert s == f
+    assert _state(lake) == _oracle_state(r0 + r1)
+    # reopen adopts both table properties from the manifest
+    again = _mor(spark, tmp_path / "t")
+    assert again.n_buckets == 16 and again.minhash_bands
+
+
 def test_stale_fold_aborts_after_rebucket(spark, tmp_path):
     """A maintenance process opened before the rebucket folds with the
     old modulus: its commit must abort cleanly (table untouched), and a
