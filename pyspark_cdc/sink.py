@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .order import ORD_COLS
+from .order import ORD_COLS, packed_ord
 from .schemas import (DELETED_COL, DOMAIN_COLS, INTERNAL_COLS, KEY_COLS,
                       LSN_COL, OFFSET_COL, TS_COL, TX_COL)
 from .signatures import SIG_COLS, fill_band_columns
@@ -96,6 +96,9 @@ RESERVED_COLS = frozenset(
 RECENT_BATCH_WINDOW = 1024
 # snapshots kept by expire_snapshots (time-travel horizon)
 SNAPSHOT_RETENTION = 8
+# change-type column emitted by read_changes (Delta Lake CDF's
+# _change_type naming, net-effect variant)
+CHANGE_TYPE_COL = "_change_type"
 
 # ---- optimistic concurrency (decoupled maintenance vs ingest) ----
 # The commit lock is held ONLY for the O(ms) manifest check+write+swap,
@@ -249,6 +252,7 @@ class ParquetLake:
         full_major: bool = False,
         minhash_bands: bool = False,
         orphan_grace_sec: float = 0.0,
+        snapshot_retention: int = SNAPSHOT_RETENTION,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -304,6 +308,13 @@ class ParquetLake:
         # default) keeps the historical eager behavior; decoupled
         # deployments set it comfortably above the longest write job.
         self.orphan_grace_sec = orphan_grace_sec
+        # Snapshots kept by the automatic expire_snapshots after each
+        # fold — the time-travel horizon AND the incremental-read (CDF)
+        # horizon: read_changes(A, B) needs every intermediate snapshot
+        # manifest, so a downstream sync must run at least once per
+        # `snapshot_retention` commits (the Iceberg/Delta CDF retention
+        # contract). Raise it for slow consumers; manifests are O(KB).
+        self.snapshot_retention = snapshot_retention
         # test-only injection point: called before every optimistic
         # commit attempt (see _commit_with_rebase) so tests can land a
         # concurrent commit in the read->commit window deterministically
@@ -1308,7 +1319,7 @@ class ParquetLake:
         if new_meta is None:
             shutil.rmtree(out_dir, ignore_errors=True)
             return self.current_meta()
-        self.expire_snapshots()
+        self.expire_snapshots(keep_last=self.snapshot_retention)
         return new_meta
 
     @staticmethod
@@ -1505,7 +1516,7 @@ class ParquetLake:
             return self.current_meta()
         # compaction doubles commit frequency vs plain appends, so it also
         # pays for the cleanup: expire old snapshots + orphaned data dirs
-        self.expire_snapshots()
+        self.expire_snapshots(keep_last=self.snapshot_retention)
         return new_meta
 
     def expire_snapshots(self, keep_last: int = SNAPSHOT_RETENTION) -> dict:
@@ -1719,7 +1730,7 @@ class ParquetLake:
             shutil.rmtree(out_dir, ignore_errors=True)
             return None
         self.n_buckets = new_n_buckets
-        self.expire_snapshots()
+        self.expire_snapshots(keep_last=self.snapshot_retention)
         return new_meta
 
     def _normalize_rows(self, df: DataFrame, extra_cols: list[str]) -> DataFrame:
@@ -2227,6 +2238,277 @@ class ParquetLake:
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df.drop(*INTERNAL, *SIG_COLS)
+
+    # ---------------- incremental change extraction (CDF) ----------------
+
+    def _snapshot_chain(self, from_id: int, to_id: int) -> list[dict]:
+        """Manifests of every snapshot in (from_id, to_id], oldest first —
+        the walk behind read_changes. Linear history (every commit's
+        parent is the snapshot it rebased onto), so the parent pointers
+        are the chain. Raises when an intermediate manifest was expired:
+        the incremental read needs every commit in the range, exactly the
+        Iceberg/Delta CDF retention contract."""
+        if from_id > to_id:
+            raise ValueError(
+                f"from_snapshot_id {from_id} is newer than to_snapshot_id "
+                f"{to_id}"
+            )
+        chain: list[dict] = []
+        cur = to_id
+        while cur != from_id:
+            if cur is None or cur < from_id:
+                raise ValueError(
+                    f"snapshot {from_id} is not an ancestor of {to_id}"
+                )
+            try:
+                m = self.snapshot_meta(cur)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {cur} in the range ({from_id}, {to_id}] has "
+                    "been expired by expire_snapshots: incremental reads "
+                    "need every intermediate snapshot — sync at least once "
+                    f"per snapshot_retention (= {self.snapshot_retention}) "
+                    "commits, or raise the retention"
+                ) from None
+            chain.append(m)
+            cur = m.get("parent")
+        chain.reverse()
+        return chain
+
+    @staticmethod
+    def _range_data_entries(chain: list[dict], from_meta: dict | None) -> list[dict]:
+        """The delta entries APPENDED BY DATA COMMITS within the chain.
+        Per-commit manifest diff: a data commit adds exactly one delta
+        entry and removes none; a fold (minor/major) or rebucket removes
+        entries (its added merged entry only REORGANIZES rows already
+        counted — collecting it would double-count, and worse, a minor
+        fold can merge deltas that predate the range start); an
+        empty-batch commit changes nothing. The union of the returned
+        entries' files therefore holds exactly the row versions written
+        in the range, each once."""
+        prev = {
+            d["path"] if isinstance(d, dict) else d
+            for d in (from_meta or {}).get("deltas", [])
+        }
+        entries: list[dict] = []
+        for m in chain:
+            deltas = [
+                d if isinstance(d, dict) else {"path": d, "format": "flat"}
+                for d in m.get("deltas", [])
+            ]
+            cur = {d["path"] for d in deltas}
+            removed = prev - cur
+            if not removed:
+                entries.extend(
+                    d for d in deltas
+                    if d["path"] not in prev and not d.get("merged")
+                )
+            prev = cur
+        return entries
+
+    def read_changes(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Net row-level changes between two snapshots — the Delta Lake
+        CDF / Iceberg incremental-read analog, and the lake's downstream
+        feed: the reference pushes every change to Meilisearch as it
+        happens (sync.go:84 AddDocuments / sync.go:108 DeleteDocument);
+        with the lake in the middle, a downstream sync consumes
+        `read_changes(last_synced, current)` instead of re-reading the
+        table — O(changes in range), not O(table).
+
+        Returns one row per key whose winning version CHANGED in the
+        range, in the read() column shape plus `_change_type`
+        ('insert' | 'update' | 'delete'); for deletes the payload columns
+        are null (the tombstone shape — the key identifies the document
+        to remove, Meilisearch DeleteDocument style). Applying the rows
+        to the from-snapshot state (PK-replace upserts + deletes)
+        reproduces the to-snapshot state exactly — the invariant the
+        tests assert.
+
+        Semantics are VERSION-based, matching LWW: a change is emitted
+        iff the key's winning (lsn, tx, ts, offset) at `to` is strictly
+        newer than at `from` and the transition is visible (a delete of a
+        key absent at `from`, or an in-range insert+delete, emits
+        nothing; a re-upsert with identical content but a newer version
+        IS an update — downstream PK-replace is idempotent, and deciding
+        otherwise would cost a full-width column comparison).
+
+        Cost: O(range delta bytes) for the new versions (the per-commit
+        manifest diff collects exactly the delta files appended in the
+        range — folds/rebuckets in the range only reorganize rows and
+        contribute nothing) + O(changed-bucket subset of the FROM
+        snapshot) to classify against prior state, pruned by the same
+        manifest bucket lists as every other subset read. Small ranges
+        broadcast; large ranges fall back to a shuffle join.
+
+        Requires mode='mor' (data commits must appear in the delta log;
+        a COW data commit rewrites buckets in place and leaves no
+        per-commit row trail — Iceberg's incremental read has the same
+        append/delta-only restriction)."""
+        if self.mode != "mor":
+            raise ValueError(
+                "read_changes requires mode='mor': COW data commits "
+                "rewrite buckets in place and leave no per-commit delta "
+                "trail to extract changes from"
+            )
+        cur = self.current_meta()
+        if to_snapshot_id is None:
+            if cur is None:
+                raise ValueError("empty lake: nothing to read changes from")
+            to_snapshot_id = cur["id"]
+
+        to_meta = (
+            cur if cur is not None and cur["id"] == to_snapshot_id
+            else self.snapshot_meta(to_snapshot_id)
+            if to_snapshot_id != 0 else None
+        )
+        extra_cols = list(to_meta["extra_columns"]) if to_meta else []
+        sig = SIG_COLS if self.minhash_bands else []
+        out_internal = list(INTERNAL) if include_internal else []
+        empty = (
+            self.spark.createDataFrame([], self._row_schema(extra_cols))
+            .drop(BUCKET_COL, *sig,
+                  *[c for c in INTERNAL if c not in out_internal])
+            .withColumn(CHANGE_TYPE_COL, F.lit(None).cast("string"))
+        )
+        if from_snapshot_id == to_snapshot_id:
+            return empty
+
+        chain = self._snapshot_chain(from_snapshot_id, to_snapshot_id)
+        try:
+            from_meta = (
+                self.snapshot_meta(from_snapshot_id)
+                if from_snapshot_id != 0 else None
+            )
+        except FileNotFoundError:
+            raise ValueError(
+                f"from snapshot {from_snapshot_id} has been expired by "
+                "expire_snapshots — sync within the retention window"
+            ) from None
+        entries = self._range_data_entries(chain, from_meta)
+        if not entries:
+            return empty
+
+        # -- winning version per key changed in the range: O(range bytes)
+        parts = []
+        for d in entries:
+            dp = os.path.join(self.table_dir, d["path"])
+            if d.get("format") == "parsed":
+                parts.append(self._flatten_parsed_delta(dp, extra_cols))
+            else:
+                flat = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(dp)
+                )
+                parts.append(self._route_as_string(flat))
+        versions = parts[0]
+        for p in parts[1:]:
+            versions = versions.unionByName(p, allowMissingColumns=True)
+        versions = self._normalize_rows(versions, extra_cols)
+        winners = resolve_lww(versions).withColumn("__w_ord", packed_ord())
+
+        w_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        if from_meta is None:
+            # since the beginning: every surviving winner is an insert
+            out = winners.filter(~w_del).withColumn(
+                CHANGE_TYPE_COL, F.lit("insert")
+            )
+            return out.drop(
+                BUCKET_COL, "__w_ord", *sig,
+                *[c for c in INTERNAL if c not in out_internal],
+            )
+
+        # -- prior state of the changed keys, read from ONLY the buckets
+        # the range touched (under the FROM snapshot's modulus). When no
+        # fold/rebucket in the range changed the modulus and every entry
+        # carries a bucket list, the union of the manifest lists IS the
+        # touched set (zero extra jobs); otherwise recompute the buckets
+        # of the changed keys with the engine's own bucket expression —
+        # one tiny job over the O(changes) winners, collecting <= n_A ints.
+        n_a = from_meta.get("n_buckets") or self.n_buckets
+        same_modulus = all(
+            (m.get("n_buckets") or self.n_buckets) == n_a for m in chain
+        )
+        if same_modulus and all("buckets" in d for d in entries):
+            wset = {int(b) for d in entries for b in d["buckets"]}
+        else:
+            wset = {
+                int(r["b"])
+                for r in winners.select(
+                    bucket_expr(n_a).alias("b")
+                ).distinct().collect()
+            }
+        sub = dict(from_meta)
+        sub["deltas"] = [
+            d for d in from_meta.get("deltas", [])
+            if not isinstance(d, dict)
+            or "buckets" not in d
+            or not wset.isdisjoint(int(b) for b in d["buckets"])
+        ]
+        base, delta = self._read_split(sub, extra_cols, buckets=sorted(wset))
+        if base is None and delta is None:
+            prior = None
+        elif delta is None:
+            prior = base  # base rows are unique per key already
+        elif base is None:
+            prior = resolve_lww(delta)
+        else:
+            prior = resolve_lww(
+                base.unionByName(delta, allowMissingColumns=True)
+            )
+
+        if prior is None:
+            out = winners.filter(~w_del).withColumn(
+                CHANGE_TYPE_COL, F.lit("insert")
+            )
+            return out.drop(
+                BUCKET_COL, "__w_ord", *sig,
+                *[c for c in INTERNAL if c not in out_internal],
+            )
+
+        prior_sel = prior.select(
+            *KEY_COLS,
+            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("__p_deleted"),
+            packed_ord().alias("__p_ord"),
+        )
+        # classification join: prior is O(touched buckets), winners are
+        # O(changes). Semi-prune prior down to the changed keys first;
+        # small ranges (manifest byte counts, the read() switch) broadcast
+        # both sides of the probe — the base-side scan never shuffles.
+        small = (
+            sum(int(d.get("bytes", self.broadcast_delta_bytes + 1))
+                for d in entries)
+            <= self.broadcast_delta_bytes
+        )
+        wkeys = winners.select(*KEY_COLS)
+        if small:
+            wkeys = F.broadcast(wkeys)
+        prior_small = prior_sel.join(wkeys, KEY_COLS, "left_semi")
+        if small:
+            prior_small = F.broadcast(prior_small)
+        joined = winners.join(prior_small, KEY_COLS, "left")
+
+        newer = F.col("__p_ord").isNull() | (F.col("__w_ord") > F.col("__p_ord"))
+        existed = F.coalesce(~F.col("__p_deleted"), F.lit(False))
+        ct = (
+            F.when(w_del & existed, F.lit("delete"))
+            .when(~w_del & existed, F.lit("update"))
+            .when(~w_del & ~existed, F.lit("insert"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        out = (
+            joined.filter(newer)
+            .withColumn(CHANGE_TYPE_COL, ct)
+            .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+        )
+        return out.drop(
+            BUCKET_COL, "__w_ord", "__p_ord", "__p_deleted", *sig,
+            *[c for c in INTERNAL if c not in out_internal],
+        )
 
     def destroy(self) -> None:
         shutil.rmtree(self.table_dir, ignore_errors=True)
