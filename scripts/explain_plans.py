@@ -399,6 +399,53 @@ def main() -> int:
             f"rebucket fold: {n_rb_ex} bucket-keyed exchanges, want exactly 1"
         )
 
+    # 4g. incremental change read (round 5, CDF): read_changes(A, B) must
+    # touch ONLY the delta files appended in the range plus the
+    # range-touched base buckets of the FROM snapshot — never the
+    # untouched base — and classify with a broadcast join (small ranges).
+    # mor3's history: batch 0 compacted into the base (snapshot A =
+    # meta3["parent"]), batch 1 appended a bucket-confined delta (B).
+    a_id, b_id = meta3["parent"], meta3["id"]
+    changes_df = mor3.read_changes(a_id, b_id)
+    plan = formatted(changes_df)
+    check(
+        "incremental change read (range deltas + touched FROM-buckets only)",
+        plan,
+        must=["BroadcastHashJoin", "LeftSemi", "partial_max_by"],
+        must_not=["SortMergeJoin", "BatchEvalPython", "Window"],
+    )
+    delta_rel = meta3["deltas"][0]["path"]
+    from_meta_g = mor3.snapshot_meta(a_id)
+    touched_dirs = {
+        "/" + rel + "/"
+        for b, rel in from_meta_g["buckets"].items()
+        if int(b) in {int(x) for x in touched3}
+    }
+    other_dirs = {
+        "/" + rel + "/"
+        for b, rel in from_meta_g["buckets"].items()
+        if int(b) not in {int(x) for x in touched3}
+    }
+    files_g = changes_df.inputFiles()
+    has_delta = any("/" + delta_rel + "/" in f for f in files_g)
+    no_untouched = not any(d in f for f in files_g for d in other_dirs)
+    in_touched = all(
+        ("/" + delta_rel + "/" in f) or any(d in f for d in touched_dirs)
+        for f in files_g
+    )
+    ok_g = has_delta and no_untouched and in_touched
+    sections[-1][2].append(
+        f"{'OK ' if ok_g else 'FAIL'} file list = range delta + "
+        f"{len(touched_dirs)} touched FROM-buckets; "
+        f"{len(other_dirs)} untouched buckets unlisted "
+        f"({len(files_g)} files total)"
+    )
+    if not ok_g:
+        failures.append(
+            "read_changes: file list strays outside range deltas + "
+            "touched FROM-snapshot buckets"
+        )
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.
