@@ -242,3 +242,78 @@ def test_batch_split_invariance(spark, tmp_path_factory, evs, data):
     tmp = str(tmp_path_factory.mktemp("prop_lake"))
     got = _engine_state(spark, tmp, batches)
     _assert_matches_oracle(got, recs)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events, data=st.data())
+def test_incremental_sync_amid_interleavings_matches_oracle(
+    spark, tmp_path_factory, evs, data
+):
+    """The downstream sync (bootstrap + read_changes increments) fired at
+    ARBITRARY batch boundaries — with hypothesis optionally crashing ONE
+    sync between its segment write and its checkpoint — must land the
+    index on the oracle state, across folds of both tiers and arbitrary
+    event interleavings. The crash re-run path and the fencing of the
+    orphan segment are exercised by construction."""
+    from pyspark_cdc.search_sync import SearchIndexSync
+
+    recs = [_record(e, off) for off, e in enumerate(evs)]
+    n_splits = data.draw(st.integers(0, min(2, len(recs) - 1)), label="n_splits")
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, max(1, len(recs) - 1)),
+                     min_size=n_splits, max_size=n_splits),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(recs)]:
+        if recs[prev:c]:
+            batches.append(recs[prev:c])
+        prev = c
+    sync_after = set(
+        data.draw(
+            st.lists(st.integers(0, len(batches) - 1), max_size=2,
+                     unique=True),
+            label="sync_after",
+        )
+    )
+    crash_on = data.draw(
+        st.sampled_from([None, *sorted(sync_after)] if sync_after else [None]),
+        label="crash_on",
+    )
+
+    tmp = str(tmp_path_factory.mktemp("prop_lake"))
+    lake = ParquetLake(spark, tmp, n_buckets=4, mode="mor",
+                       compact_every=2, major_every=2,
+                       snapshot_retention=100)
+    sync = SearchIndexSync(
+        spark, str(tmp_path_factory.mktemp("prop_index")), lake)
+
+    class Boom(Exception):
+        pass
+
+    def crash():
+        raise Boom()
+
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, schema=KAFKA_SHAPE)
+        process_batch(df, i, lake)
+        if i in sync_after:
+            if i == crash_on:
+                sync._pre_checkpoint_hook = crash
+                try:
+                    sync.sync_once()
+                    raise AssertionError("hook did not fire")
+                except Boom:
+                    pass
+                sync._pre_checkpoint_hook = None
+            sync.sync_once()
+    sync.sync_once()  # final catch-up
+
+    got = {
+        (r["repo"], r["path"]): r.asDict() for r in sync.state().collect()
+    }
+    # the index never stores engine internals; compare the payload shape
+    _assert_matches_oracle(got, recs)
