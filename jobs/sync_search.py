@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     ap.add_argument("--table-dir", required=True, help="lake table directory")
     ap.add_argument("--index-dir", required=True,
                     help="downstream index directory")
+    ap.add_argument("--route", help="per-tenant sync: ship only this "
+                    "route's changes (manifest/partition-pruned)")
     ap.add_argument("--once", action="store_true",
                     help="sync at most once and exit (cron deployment)")
     ap.add_argument("--resync", action="store_true",
@@ -49,7 +51,7 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("pyspark-cdc-sync").getOrCreate()
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     lake = ParquetLake(spark, args.table_dir, mode="mor", compact_every=None)
-    sync = SearchIndexSync(spark, args.index_dir, lake)
+    sync = SearchIndexSync(spark, args.index_dir, lake, route=args.route)
 
     if args.resync:
         t0 = time.monotonic()

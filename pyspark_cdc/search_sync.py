@@ -64,10 +64,21 @@ class SearchIndexSync:
     index_dir — concurrent syncs of the same index would race the
     checkpoint; run it like jobs/maintain.py, cron --once or daemon)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, lake: ParquetLake):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        lake: ParquetLake,
+        route: str | None = None,
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.lake = lake
+        # route=X makes this a PER-TENANT consumer (the reference's
+        # one-Meilisearch-index-per-collection shape): bootstrap and every
+        # incremental read are route-pruned at the manifest/partition
+        # level, so one tenant's sync never scans another tenant's data.
+        self.route = route
         os.makedirs(index_dir, exist_ok=True)
         # test-only crash-injection point, fired between the segment
         # write and the checkpoint commit (the at-least-once window)
@@ -132,12 +143,12 @@ class SearchIndexSync:
         if frm is None:
             # initial index build: full state as inserts (sync.go's cold
             # start is the same full-table pass, one document at a time)
-            changes = self.lake.read(snapshot_id=to_id).withColumn(
-                CHANGE_TYPE_COL, F.lit("insert")
-            )
+            changes = self.lake.read(
+                snapshot_id=to_id, route=self.route
+            ).withColumn(CHANGE_TYPE_COL, F.lit("insert"))
             status = "bootstrapped"
         else:
-            changes = self.lake.read_changes(frm, to_id)
+            changes = self.lake.read_changes(frm, to_id, route=self.route)
             status = "synced"
 
         seg = changes.select(

@@ -2311,6 +2311,7 @@ class ParquetLake:
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
         include_internal: bool = False,
+        route: str | None = None,
     ) -> DataFrame:
         """Net row-level changes between two snapshots — the Delta Lake
         CDF / Iceberg incremental-read analog, and the lake's downstream
@@ -2393,17 +2394,35 @@ class ParquetLake:
         if not entries:
             return empty
 
+        # route=X scopes the feed to one tenant (a per-tenant downstream
+        # consumer, the reference's one-index-per-collection shape): range
+        # deltas whose manifest route list excludes X are skipped whole,
+        # the rest filter on the route data column, and the prior read
+        # prunes the same way. Exact because route is functionally
+        # determined by the merge key — a key's versions all share one
+        # route, so tenant-local LWW equals global LWW for those keys.
+        if route is not None:
+            entries = [
+                d for d in entries if self._delta_matches_route(d, route)
+            ]
+            if not entries:
+                return empty
+
         # -- winning version per key changed in the range: O(range bytes)
         parts = []
         for d in entries:
             dp = os.path.join(self.table_dir, d["path"])
             if d.get("format") == "parsed":
-                parts.append(self._flatten_parsed_delta(dp, extra_cols))
+                parts.append(
+                    self._flatten_parsed_delta(dp, extra_cols, route=route)
+                )
             else:
                 flat = (
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(dp)
                 )
+                if route is not None and ROUTE_COL in flat.columns:
+                    flat = flat.filter(F.col(ROUTE_COL) == route)
                 parts.append(self._route_as_string(flat))
         versions = parts[0]
         for p in parts[1:]:
@@ -2449,7 +2468,9 @@ class ParquetLake:
             or "buckets" not in d
             or not wset.isdisjoint(int(b) for b in d["buckets"])
         ]
-        base, delta = self._read_split(sub, extra_cols, buckets=sorted(wset))
+        base, delta = self._read_split(
+            sub, extra_cols, route=route, buckets=sorted(wset)
+        )
         if base is None and delta is None:
             prior = None
         elif delta is None:

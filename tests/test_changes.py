@@ -276,3 +276,42 @@ def test_snapshot_retention_knob_adopted(spark, tmp_path):
     # at the default retention of 8
     for a in marks:
         _assert_applies(lake, a, marks[-1])
+
+
+def test_route_scoped_changes(spark, tmp_path):
+    """route=X scopes the feed to one tenant: only that route's changes
+    surface, range deltas of other tenants are manifest-pruned away, and
+    the emitted set equals the unscoped feed filtered by route."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=1, major_every=1,
+                       snapshot_retention=50)
+
+    def rec_t(value, off, topic):
+        return {"key": None, "value": value, "topic": topic, "partition": 0,
+                "offset": off}
+
+    def up_t(i, v, lsn, topic):
+        return rec_t(_env("u", after=_row(i, v), lsn=lsn), lsn, topic)
+
+    # batch 0 compacts into a route-partitioned base
+    _feed(spark, lake, 0, [up_t(1, 1, 1, "ta"), up_t(2, 1, 2, "tb")])
+    lake.compact_every = 100
+    a = lake.current_meta()["id"]
+    _feed(spark, lake, 1, [up_t(1, 2, 10, "ta")])   # ta-only delta
+    _feed(spark, lake, 2, [up_t(2, 2, 11, "tb"),    # tb delta + insert
+                           up_t(3, 1, 12, "tb")])
+    b = lake.current_meta()["id"]
+
+    full = _changes_by_key(lake.read_changes(a, b))
+    ta = _changes_by_key(lake.read_changes(a, b, route="ta"))
+    tb = _changes_by_key(lake.read_changes(a, b, route="tb"))
+    assert ta == {k: v for k, v in full.items() if v["route"] == "ta"}
+    assert tb == {k: v for k, v in full.items() if v["route"] == "tb"}
+    assert set(ta) == {("r", "p1")} and set(tb) == {("r", "p2"), ("r", "p3")}
+
+    # manifest pruning: a range holding ONLY tb deltas reads zero files
+    # for ta (entries route-pruned before any scan is built)
+    mid = lake.snapshot_meta(b)["parent"]
+    ta_only_range = lake.read_changes(mid, b, route="ta")
+    assert ta_only_range.count() == 0
+    assert ta_only_range.inputFiles() == []

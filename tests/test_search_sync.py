@@ -220,3 +220,38 @@ def test_sync_cli_job_end_to_end(spark, tmp_path):
     assert rc == 0
     sync = SearchIndexSync(spark, str(tmp_path / "index"), lake)
     _assert_index_matches_lake(sync, lake)
+
+
+def test_per_tenant_sync(spark, tmp_path):
+    """route=X makes the sync a per-tenant consumer: its index holds only
+    that tenant's documents, matching the lake's route-scoped read, while
+    another tenant's churn never surfaces."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=1, major_every=1,
+                       snapshot_retention=50)
+
+    def rec_t(value, off, topic):
+        return {"key": None, "value": value, "topic": topic, "partition": 0,
+                "offset": off}
+
+    def up_t(i, v, lsn, topic):
+        return rec_t(_env("u", after=_row(i, v), lsn=lsn), lsn, topic)
+
+    _feed(spark, lake, 0, [up_t(1, 1, 1, "ta"), up_t(2, 1, 2, "tb")])
+    lake.compact_every = 100
+    sync_a = SearchIndexSync(spark, str(tmp_path / "idx_a"), lake, route="ta")
+    s = sync_a.sync_once()
+    assert s["status"] == "bootstrapped" and s["n_rows"] == 1
+
+    # tb-only churn: ta's incremental sync ships zero rows
+    _feed(spark, lake, 1, [up_t(2, 2, 10, "tb"), up_t(3, 1, 11, "tb")])
+    s = sync_a.sync_once()
+    assert s["status"] == "synced" and s["n_rows"] == 0
+    # ta churn shows up
+    _feed(spark, lake, 2, [up_t(1, 2, 12, "ta")])
+    s = sync_a.sync_once()
+    assert s["n_rows"] == 1
+
+    idx = _sha_state(sync_a.state())
+    lk = _sha_state(lake.read(route="ta"))
+    assert idx == lk and set(idx) == {("r", "p1")}
