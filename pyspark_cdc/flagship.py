@@ -78,3 +78,49 @@ def flagship_replay(spark: SparkSession) -> DataFrame:
     invariant column (BASELINE.json input_hint)."""
     out = flagship_lake(spark).read()
     return out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+# Split offset for the two-batch CDF flagship: batch 0 = offset < SPLIT,
+# batch 1 = the rest. A data predicate (not a file split) so the DuckDB
+# oracle can replicate the exact same partition of the event list.
+FLAGSHIP_CDF_SPLIT = 4500
+
+
+def flagship_cdf(spark: SparkSession):
+    """(lake, a_id, b_id) for the driver-checkable incremental change
+    read: the flagship log replayed in TWO batches split at
+    FLAGSHIP_CDF_SPLIT, snapshot A captured between them. Built once per
+    process like the other flagship lakes; the snapshot marks persist
+    next to the lake so reopens stay consistent."""
+    import json
+
+    from .sink import ParquetLake
+    from .stream import file_batch, process_batch
+
+    key = "flagship_cdf"
+
+    def _open(root):
+        return ParquetLake(
+            spark, os.path.join(root, "lake"), n_buckets=8, mode="mor"
+        )
+
+    if _CACHE.get(key) is None:
+        root = tempfile.mkdtemp(prefix="pyspark_cdc_flagship_cdf_lake_")
+        lake = _open(root)
+        raw = file_batch(spark, ensure_flagship_log())
+        process_batch(
+            raw.filter(F.col("offset") < FLAGSHIP_CDF_SPLIT), 0, lake
+        )
+        a_id = lake.current_meta()["id"]
+        process_batch(
+            raw.filter(F.col("offset") >= FLAGSHIP_CDF_SPLIT), 1, lake
+        )
+        b_id = lake.current_meta()["id"]
+        with open(os.path.join(root, "marks.json"), "w") as f:
+            json.dump({"a": a_id, "b": b_id}, f)
+        _CACHE[key] = root
+        return lake, a_id, b_id
+    root = _CACHE[key]
+    with open(os.path.join(root, "marks.json")) as f:
+        marks = json.load(f)
+    return _open(root), marks["a"], marks["b"]

@@ -29,10 +29,12 @@ def load(spark, sf_dir: str, name: str):
 # insertion order, mm_frame_sample — was silently dropped from
 # CORRECTNESS_r03.json despite being green in r02 and locally). Order
 # puts the engine rows first; q3b/array-contains is folded into
-# q3_set_membership and token counting + language ID into
-# text_quality_score (the Q8-into-Q7 precedent) so every operator keeps
-# oracle evidence; the freed slot carries dedup_lake_signatures (round
-# 5's incremental dedup-on-ingest row).
+# q3_set_membership, token counting + language ID into
+# text_quality_score (the Q8-into-Q7 precedent), and the per-route
+# aggregate (ex cdc_engine_routes) into cdc_engine_replay as window
+# columns, so every operator keeps oracle evidence; the freed slots
+# carry dedup_lake_signatures (incremental dedup-on-ingest) and
+# cdc_engine_changes (the round-5 incremental change read / CDF).
 REGISTRY: dict = {}
 for mod in (cdc, engine, multimodal, text, state, dedup, similarity):
     REGISTRY.update(mod.QUERIES)

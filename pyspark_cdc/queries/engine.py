@@ -61,10 +61,12 @@ _DOC = f"""CASE
     END"""
 
 
-def _replay_sql(final_select: str) -> str:
+def _base_ctes(raw: str = _RAW) -> str:
+    """The shared replay prefix: raw -> env -> rows_all -> keyed (every
+    surviving row version with its LWW ordering tuple)."""
     return f"""
 WITH raw AS (
-  SELECT * FROM {_RAW}
+  SELECT * FROM {raw}
 ), env AS (
   SELECT topic, "offset",
          {_OP} AS op,
@@ -107,7 +109,11 @@ WITH raw AS (
 ), keyed AS (
   SELECT * FROM rows_all
   WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL AND path <> ''
-), ranked AS (
+)"""
+
+
+def _replay_sql(final_select: str) -> str:
+    return f"""{_base_ctes()}, ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY repo, path
       ORDER BY lsn DESC, tx DESC, ts DESC, "offset" DESC) AS rn
@@ -125,30 +131,85 @@ WITH raw AS (
 
 
 def cdc_engine_replay(spark, sf_dir):
-    return flagship_replay(spark)
+    """Final state rows PLUS the per-route aggregate evidence that used
+    to be its own row (cdc_engine_routes, P8), folded in as window
+    columns to free a registry slot for cdc_engine_changes under the
+    driver's 50-row cap — the q3b/text_token_count fold precedent: every
+    row carries its route's final-state row count and branched count, so
+    the routing-identity grouping stays fully oracled."""
+    from pyspark.sql import Window
 
-
-SQL_ENGINE_REPLAY = _replay_sql("SELECT * FROM final")
-
-
-# --- cdc_engine_routes: final state grouped by routing identity (P8) --------
-
-
-def cdc_engine_routes(spark, sf_dir):
+    w = Window.partitionBy("route")
     return (
         flagship_replay(spark)
-        .groupBy("route")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count("branch").alias("n_branched"),
-        )
+        .withColumn("route_rows", F.count(F.lit(1)).over(w))
+        .withColumn("route_branched", F.count("branch").over(w))
     )
 
 
-SQL_ENGINE_ROUTES = _replay_sql(
-    "SELECT route, count(*) AS n_rows, count(branch) AS n_branched "
-    "FROM final GROUP BY route"
+SQL_ENGINE_REPLAY = _replay_sql(
+    "SELECT *, count(*) OVER (PARTITION BY route) AS route_rows, "
+    "count(branch) OVER (PARTITION BY route) AS route_branched FROM final"
 )
+
+
+# --- cdc_engine_changes: incremental change extraction (CDF) ----------------
+
+# The flagship log replayed in two batches split at FLAGSHIP_CDF_SPLIT;
+# the Spark side runs ParquetLake.read_changes(A, B) (range delta files +
+# touched FROM-buckets only), the oracle replays BOTH prefixes in SQL and
+# classifies the net transition per key with the same version-based rule:
+# emit iff the range winner's (lsn, tx, ts, offset) strictly beats the
+# prior winner's (tuple comparison), delete only if the key existed
+# non-deleted at A, payload columns NULL on deletes (the tombstone shape).
+
+
+def cdc_engine_changes(spark, sf_dir):
+    from ..flagship import flagship_cdf
+
+    lake, a_id, b_id = flagship_cdf(spark)
+    ch = lake.read_changes(a_id, b_id)
+    return ch.select(
+        "repo", "path", "commit", "lang", "content", "route", "branch",
+        "_change_type",
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def _changes_sql() -> str:
+    from ..flagship import FLAGSHIP_CDF_SPLIT as T
+
+    rank = ("row_number() OVER (PARTITION BY repo, path ORDER BY "
+            'lsn DESC, tx DESC, ts DESC, "offset" DESC) AS rn')
+    return f"""{_base_ctes()}, prior AS (
+  SELECT * FROM (
+    SELECT *, {rank} FROM keyed WHERE "offset" < {T}
+  ) WHERE rn = 1
+), w AS (
+  SELECT * FROM (
+    SELECT *, {rank} FROM keyed WHERE "offset" >= {T}
+  ) WHERE rn = 1
+), cls AS (
+  SELECT w.repo, w.path, w.commit, w.lang, w.content, w.branch, w.route,
+         w.is_del,
+         (p.lsn IS NULL OR (w.lsn, w.tx, w.ts, w."offset")
+                            > (p.lsn, p.tx, p.ts, p."offset")) AS newer,
+         COALESCE(NOT p.is_del, FALSE) AS existed
+  FROM w LEFT JOIN prior p ON w.repo = p.repo AND w.path = p.path
+)
+SELECT repo, path,
+       CASE WHEN is_del THEN NULL ELSE commit END AS commit,
+       CASE WHEN is_del THEN NULL ELSE lang END AS lang,
+       CASE WHEN is_del THEN NULL ELSE content END AS content,
+       route,
+       CASE WHEN is_del THEN NULL ELSE branch END AS branch,
+       CASE WHEN is_del THEN 'delete'
+            WHEN existed THEN 'update'
+            ELSE 'insert' END AS _change_type,
+       CASE WHEN is_del THEN NULL
+            ELSE sha256(content) END AS content_sha256
+FROM cls
+WHERE newer AND NOT (is_del AND NOT existed)
+"""
 
 
 # --- cdc_engine_tenant_state: the route-PRUNED read path (Q11) --------------
@@ -368,7 +429,10 @@ def _fieldroute_oracle() -> str:
 
 QUERIES = {
     "cdc_engine_replay": (cdc_engine_replay, _oracle_ready(SQL_ENGINE_REPLAY)),
-    "cdc_engine_routes": (cdc_engine_routes, _oracle_ready(SQL_ENGINE_ROUTES)),
+    "cdc_engine_changes": (
+        cdc_engine_changes,
+        _oracle_ready(_changes_sql()),
+    ),
     "cdc_engine_tenant_state": (
         cdc_engine_tenant_state,
         _oracle_ready(SQL_ENGINE_TENANT),
