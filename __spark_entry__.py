@@ -29,7 +29,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CDC replay to final table state; driver checks
-    rows>0 + stable schema. Same result set as queries()['cdc_engine_replay']."""
+    rows>0 + stable schema. queries()['cdc_engine_replay'] returns the
+    same rows plus two per-route window aggregate columns (the folded
+    ex-cdc_engine_routes evidence)."""
     from pyspark_cdc.flagship import flagship_replay
 
     _ensure_session_conf(spark)
