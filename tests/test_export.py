@@ -137,3 +137,37 @@ def test_route_scoped_export_and_empty_range(spark, tmp_path):
     assert stats["n_records"] == 0
     replay_batch(spark, str(tmp_path / "log_empty"), rep, batch_id=1)
     assert _state(rep) == got
+
+
+def test_export_cli_checkpointed_chunks(spark, tmp_path):
+    """The cron deployment: --full bootstrap chunk, then incremental
+    chunks since the checkpoint; a replica ingesting the chunk series
+    equals the source."""
+    import jobs.export_changes as job
+
+    src = ParquetLake(spark, str(tmp_path / "src"), n_buckets=4,
+                      mode="mor", compact_every=100, snapshot_retention=50)
+    _feed(spark, src, 0, [_upsert(i, 1, i) for i in range(1, 4)])
+    out = str(tmp_path / "outbox")
+
+    # incremental before bootstrap fails loudly
+    rc = job.main(["--table-dir", str(tmp_path / "src"), "--out-dir", out])
+    assert rc == 2
+    assert job.main(["--table-dir", str(tmp_path / "src"),
+                     "--out-dir", out, "--full"]) == 0
+    _feed(spark, src, 1, [_upsert(1, 2, 10), _delete(2, 11)])
+    assert job.main(["--table-dir", str(tmp_path / "src"),
+                     "--out-dir", out]) == 0
+    # up-to-date run produces no new chunk
+    assert job.main(["--table-dir", str(tmp_path / "src"),
+                     "--out-dir", out]) == 0
+    import os
+    chunks = sorted(d for d in os.listdir(out) if d.startswith("chunk-"))
+    assert len(chunks) == 2
+
+    rep = ParquetLake(spark, str(tmp_path / "rep"), n_buckets=2, mode="mor",
+                      compact_every=100)
+    for i, c in enumerate(chunks):
+        replay_batch(spark, os.path.join(out, c), rep, batch_id=i)
+    s, r = _norm([_state(src), _state(rep)])
+    assert s == r
