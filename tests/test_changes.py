@@ -315,3 +315,24 @@ def test_route_scoped_changes(spark, tmp_path):
     ta_only_range = lake.read_changes(mid, b, route="ta")
     assert ta_only_range.count() == 0
     assert ta_only_range.inputFiles() == []
+
+
+def test_changes_stable_under_later_commits(spark, tmp_path):
+    """A read_changes(A, B) DataFrame captured before later commits must
+    still evaluate to the same range afterwards: the chain walk resolves
+    (A, B] eagerly against immutable snapshot manifests, so concurrent
+    ingest can never shift a consumer's in-flight extraction — the
+    contract the decoupled sync job depends on."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=100, snapshot_retention=50)
+    _feed(spark, lake, 0, [_upsert(1, 1, 1)])
+    a = lake.current_meta()["id"]
+    _feed(spark, lake, 1, [_upsert(1, 2, 10), _upsert(2, 1, 11)])
+    b = lake.current_meta()["id"]
+    df = lake.read_changes(a, b)  # captured, not yet evaluated
+    _feed(spark, lake, 2, [_upsert(1, 9, 20), _delete(2, 21)])
+    got = _changes_by_key(df)
+    assert {k: c[CHANGE_TYPE_COL] for k, c in got.items()} == {
+        ("r", "p1"): "update", ("r", "p2"): "insert",
+    }
+    assert got[("r", "p1")]["content"] == "v2"  # not the later v9
