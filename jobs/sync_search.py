@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                     help="downstream index directory")
     ap.add_argument("--route", help="per-tenant sync: ship only this "
                     "route's changes (manifest/partition-pruned)")
+    ap.add_argument("--pin", action="store_true",
+                    help="re-pin a named ref to each synced snapshot so "
+                         "lake retention never outruns this consumer")
     ap.add_argument("--once", action="store_true",
                     help="sync at most once and exit (cron deployment)")
     ap.add_argument("--resync", action="store_true",
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("pyspark-cdc-sync").getOrCreate()
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     lake = ParquetLake(spark, args.table_dir, mode="mor", compact_every=None)
-    sync = SearchIndexSync(spark, args.index_dir, lake, route=args.route)
+    sync = SearchIndexSync(spark, args.index_dir, lake, route=args.route,
+                           pin=args.pin)
 
     if args.resync:
         t0 = time.monotonic()

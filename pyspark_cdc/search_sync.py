@@ -70,10 +70,19 @@ class SearchIndexSync:
         index_dir: str,
         lake: ParquetLake,
         route: str | None = None,
+        pin: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.lake = lake
+        # pin=True: after every successful sync, move a named ref
+        # (sync:<index dirname>) to the synced snapshot so expire keeps
+        # the manifest chain this consumer still needs — retention can
+        # then never outrun a LIVE consumer (see sink.pin_snapshot); the
+        # pin rides forward with each sync, holding only the consumer's
+        # actual lag. Off by default: an abandoned pinned consumer holds
+        # history until unpinned, which is an operational choice.
+        self.pin = pin
         # route=X makes this a PER-TENANT consumer (the reference's
         # one-Meilisearch-index-per-collection shape): bootstrap and every
         # incremental read are route-pruned at the manifest/partition
@@ -177,10 +186,17 @@ class SearchIndexSync:
         if self._pre_checkpoint_hook is not None:
             self._pre_checkpoint_hook()
         self._commit_checkpoint(to_id)
+        if self.pin:
+            # after the checkpoint (crash between them leaves the pin at
+            # the previous sync — the safe direction: it protects MORE)
+            self.lake.pin_snapshot(self._pin_name(), to_id)
         return {
             "status": status, "from_snapshot": frm, "synced_snapshot": to_id,
             "n_rows": got.get("n_rows"), "n_deletes": got.get("n_deletes"),
         }
+
+    def _pin_name(self) -> str:
+        return f"sync:{os.path.basename(os.path.abspath(self.index_dir))}"
 
     def resync(self) -> dict:
         """Blow away the index and rebuild from a fresh bootstrap — the

@@ -352,6 +352,65 @@ class ParquetLake:
         with open(os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")) as f:
             return json.load(f)
 
+    # ---------------- pinned refs (retention protection) ----------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta_dir, "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """name -> pinned snapshot id (Iceberg tag analog)."""
+        try:
+            with open(self._refs_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = os.path.join(self._meta_dir, f".refs.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_path())
+
+    def pin_snapshot(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot against expiry under a named ref (current if
+        unspecified). expire_snapshots keeps EVERY snapshot >= the oldest
+        pin — the manifest chain an incremental consumer checkpointed
+        there still needs (read_changes walks it). Re-pinning a name
+        moves it; a consumer that re-pins after every sync rides the
+        retention window forward with zero history held beyond its own
+        lag. O(ms) metadata write under the commit lock (refs are shared
+        mutable state between processes, unlike immutable manifests)."""
+        with self._commit_lock():
+            if snapshot_id is None:
+                meta = self.current_meta()
+                if meta is None:
+                    raise ValueError("empty lake: nothing to pin")
+                snapshot_id = int(meta["id"])
+            if not os.path.exists(
+                os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")
+            ):
+                raise ValueError(
+                    f"snapshot {snapshot_id} does not exist or was already "
+                    "expired; cannot pin"
+                )
+            refs = self.refs()
+            refs[name] = int(snapshot_id)
+            self._write_refs(refs)
+        return int(snapshot_id)
+
+    def unpin_snapshot(self, name: str) -> bool:
+        """Remove a named pin; returns whether it existed. History it
+        protected becomes expirable on the next maintenance pass."""
+        with self._commit_lock():
+            refs = self.refs()
+            existed = name in refs
+            if existed:
+                del refs[name]
+                self._write_refs(refs)
+        return existed
+
     @contextmanager
     def _commit_lock(self):
         """Cross-process mutual exclusion for the metadata commit —
@@ -1530,7 +1589,16 @@ class ParquetLake:
         a carried-forward dir is always safe because the parent snapshot
         that references it is always in the kept set. Readers holding an
         expired snapshot are the remaining single-process assumption (a
-        shared catalog would add a reader lease)."""
+        shared catalog would add a reader lease).
+
+        PINNED refs (pin_snapshot — the Iceberg tag/branch-ref retention
+        analog) extend the kept set: every snapshot >= the OLDEST pinned
+        id survives, not just the pinned ids themselves, because an
+        incremental consumer checkpointed at a pin needs the whole
+        manifest CHAIN from there to current (read_changes walks it). A
+        live downstream consumer that re-pins its checkpoint after every
+        sync can therefore never be outrun by retention; an abandoned
+        pin holds history until unpin_snapshot removes it."""
         meta = self.current_meta()
         if meta is None:
             return {"removed_snapshots": 0, "removed_dirs": 0}
@@ -1542,6 +1610,10 @@ class ParquetLake:
             ),
         )
         keep = {s for s in snaps if s > meta["id"] - keep_last} | {meta["id"]}
+        pins = self.refs()
+        if pins:
+            floor = min(pins.values())
+            keep |= {s for s in snaps if s >= floor}
 
         referenced: set[str] = set()
         for s in keep:

@@ -133,3 +133,101 @@ def test_expire_keeps_carried_forward_buckets_and_drops_the_rest(
     assert final[hot[1]]["content"] == "v600"
     assert final[hot[0]]["content"] == "v700"
     assert len(final) == len(before_rows) + 1  # hot[1] was deleted, revived
+
+
+def _pin_helpers():
+    import json
+
+    from pyspark_cdc.schemas import KAFKA_SHAPE
+    from pyspark_cdc.stream import process_batch
+
+    def env(op, after=None, before=None, lsn=0):
+        p = {"op": op, "source": {"lsn": lsn, "ts_ms": lsn}}
+        if after is not None:
+            p["after"] = after
+        if before is not None:
+            p["before"] = before
+        return json.dumps({"payload": p})
+
+    def upsert(i, v, lsn):
+        after = {"repo": "r", "path": f"p{i}", "commit": f"c{v}",
+                 "lang": "py", "content": f"v{v}"}
+        return {"key": None, "value": env("u", after=after, lsn=lsn),
+                "topic": "t", "partition": 0, "offset": lsn}
+
+    def feed(spark, lake, bid, recs):
+        process_batch(
+            spark.createDataFrame(recs, schema=KAFKA_SHAPE), bid, lake)
+
+    return upsert, feed
+
+
+def test_pinned_ref_protects_consumer_horizon(spark, tmp_path):
+    """A pinned ref (the Iceberg tag analog) keeps the whole manifest
+    chain from the pin forward, so a slow incremental consumer survives
+    retention that would otherwise expire its range; unpinning releases
+    the history on the next expire pass."""
+    from pyspark_cdc.sink import ParquetLake
+
+    upsert, feed = _pin_helpers()
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=2, major_every=2,
+                       snapshot_retention=3)
+    feed(spark, lake, 0, [upsert(1, 1, 1)])
+    a = lake.current_meta()["id"]
+    lake.pin_snapshot("consumer", a)
+
+    # far past the unpinned horizon, with folds expiring aggressively
+    for bid in range(1, 12):
+        feed(spark, lake, bid, [upsert(bid % 4 + 1, bid, bid + 1)])
+    # the pinned range is still fully readable
+    ch = lake.read_changes(a)
+    assert ch.count() > 0
+    assert lake.refs() == {"consumer": a}
+
+    # re-pin forward: old history becomes expirable, new range survives
+    b = lake.current_meta()["id"]
+    lake.pin_snapshot("consumer", b)
+    feed(spark, lake, 12, [upsert(1, 99, 99)])
+    lake.expire_snapshots(keep_last=3)
+    assert lake.read_changes(b).count() > 0
+    import pytest
+    with pytest.raises(ValueError, match="expired"):
+        lake.read_changes(a)
+
+    # unpin: nothing beyond keep_last survives the next pass (keep_last=1
+    # expires b itself — it sits more than one snapshot behind current)
+    lake.unpin_snapshot("consumer")
+    assert lake.refs() == {}
+    lake.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        lake.read_changes(b)
+
+    # pinning a gone snapshot refuses
+    with pytest.raises(ValueError, match="expired|exist"):
+        lake.pin_snapshot("late", a)
+
+
+def test_sync_with_pin_survives_retention(spark, tmp_path):
+    """A pinning consumer is never outrun: the same scenario that forces
+    --resync for an unpinned sync (test_resync_after_retention_horizon)
+    stays incremental when pin=True."""
+    from pyspark_cdc.search_sync import SearchIndexSync
+    from pyspark_cdc.sink import ParquetLake
+
+    upsert, feed = _pin_helpers()
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=2, major_every=2,
+                       snapshot_retention=3)
+    sync = SearchIndexSync(spark, str(tmp_path / "index"), lake, pin=True)
+    feed(spark, lake, 0, [upsert(1, 1, 1)])
+    sync.sync_once()
+    for bid in range(1, 12):
+        feed(spark, lake, bid, [upsert(bid % 4 + 1, bid, bid + 1)])
+    s = sync.sync_once()  # would raise without the pin
+    assert s["status"] == "synced"
+    idx = {(r["repo"], r["path"]): r["content"]
+           for r in sync.state().collect()}
+    lk = {(r["repo"], r["path"]): r["content"]
+          for r in lake.read().collect()}
+    assert idx == lk
