@@ -39,6 +39,9 @@ def main(argv=None) -> int:
                     help="export since the beginning (bootstrap chunk)")
     ap.add_argument("--from-snapshot", type=int)
     ap.add_argument("--to-snapshot", type=int)
+    ap.add_argument("--pin", action="store_true",
+                    help="re-pin a named ref to each exported snapshot so "
+                         "lake retention never outruns this outbox")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -96,6 +99,11 @@ def main(argv=None) -> int:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ckpt)
+        if args.pin:
+            lake.pin_snapshot(
+                f"outbox:{os.path.basename(os.path.abspath(args.out_dir))}",
+                to,
+            )
     print(json.dumps({
         "event": "exported", **stats,
         "wall_sec": round(time.monotonic() - t0, 3),

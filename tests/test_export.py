@@ -139,6 +139,10 @@ def test_route_scoped_export_and_empty_range(spark, tmp_path):
     assert _state(rep) == got
 
 
+def src_lake_refs(lake):
+    return lake.refs()
+
+
 def test_export_cli_checkpointed_chunks(spark, tmp_path):
     """The cron deployment: --full bootstrap chunk, then incremental
     chunks since the checkpoint; a replica ingesting the chunk series
@@ -154,10 +158,11 @@ def test_export_cli_checkpointed_chunks(spark, tmp_path):
     rc = job.main(["--table-dir", str(tmp_path / "src"), "--out-dir", out])
     assert rc == 2
     assert job.main(["--table-dir", str(tmp_path / "src"),
-                     "--out-dir", out, "--full"]) == 0
+                     "--out-dir", out, "--full", "--pin"]) == 0
     _feed(spark, src, 1, [_upsert(1, 2, 10), _delete(2, 11)])
     assert job.main(["--table-dir", str(tmp_path / "src"),
-                     "--out-dir", out]) == 0
+                     "--out-dir", out, "--pin"]) == 0
+    assert src_lake_refs(src) == {"outbox:outbox": src.current_meta()["id"]}
     # up-to-date run produces no new chunk
     assert job.main(["--table-dir", str(tmp_path / "src"),
                      "--out-dir", out]) == 0
