@@ -31,6 +31,26 @@ import sys
 import time
 
 
+def fold_aborted(before_meta: dict | None, after_meta: dict | None) -> bool:
+    """Whether a compact_now call left the backlog it saw untouched.
+
+    Must not infer from backlog_after < backlog_before: concurrent ingest
+    can append deltas FASTER than the fold consumed them, making a
+    successful fold look aborted (undercounting folds and reading like an
+    OCC livelock in the maintenance log). A committed fold always removes
+    at least one of the delta entries it saw; concurrent ingest only ADDS
+    entries — so "some pre-fold delta path disappeared" detects success
+    exactly, whatever the interleaving. (If a CONCURRENT compactor
+    consumed them while ours lost the race, the backlog is folded either
+    way — reporting success matches the observable table state.)"""
+    def paths(meta):
+        return {
+            d["path"] if isinstance(d, dict) else d
+            for d in (meta or {}).get("deltas", [])
+        }
+    return paths(before_meta) <= paths(after_meta)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="pyspark-cdc maintenance job")
     ap.add_argument("--table-dir", required=True, help="lake table directory")
@@ -92,15 +112,14 @@ def main(argv=None) -> int:
             new_meta = lake.compact_now(tier=args.tier, full=args.full)
             wall = time.monotonic() - t0
             after = ParquetLake._raw_delta_count(new_meta)
-            # an aborted fold (lost an OCC race) leaves backlog >= before;
-            # it is simply retried on the next poll
-            folds += 1 if after < backlog else 0
+            aborted = fold_aborted(meta, new_meta)
+            folds += 0 if aborted else 1
             print(json.dumps({
                 "event": "fold", "tier": args.tier,
                 "backlog_before": backlog, "backlog_after": after,
                 "wall_sec": round(wall, 3),
                 "snapshot": new_meta.get("id"),
-                "aborted": after >= backlog,
+                "aborted": aborted,
             }), flush=True)
             if args.once:
                 break

@@ -91,7 +91,10 @@ def main(argv=None) -> int:
         if (args.max_runtime_sec
                 and time.monotonic() - t_start > args.max_runtime_sec):
             break
-        if stats["status"] == "up_to_date":
+        if stats["status"] in ("up_to_date", "empty_lake"):
+            # empty_lake must sleep too: the sync is routinely started
+            # alongside ingest before the first commit lands, and a
+            # no-sleep loop would busy-spin on current_meta at 100% CPU
             time.sleep(args.poll_sec)
 
     print(json.dumps({

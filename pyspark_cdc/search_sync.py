@@ -149,6 +149,19 @@ class SearchIndexSync:
         if frm == to_id:
             return {"status": "up_to_date", "synced_snapshot": to_id}
 
+        # Orphan sweep: ANY segment past the checkpoint is a crashed
+        # sync's uncommitted leftover. Deleting it here (not merely
+        # fencing it) matters because fencing alone stops protecting once
+        # a LATER sync advances the checkpoint past the orphan's sequence:
+        # a key inserted in the orphan's range and deleted before the
+        # retry's target would then resurrect — the orphan's stale insert
+        # becomes its only (and winning) row. The deterministic-name
+        # overwrite only covers a retry of the SAME target snapshot; this
+        # covers a lake that moved on between crash and retry.
+        for seq, p in self._segments(None):
+            if frm is None or seq > frm:
+                shutil.rmtree(p, ignore_errors=True)
+
         if frm is None:
             # initial index build: full state as inserts (sync.go's cold
             # start is the same full-table pass, one document at a time)

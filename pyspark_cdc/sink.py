@@ -339,11 +339,29 @@ class ParquetLake:
 
     def current_meta(self) -> dict | None:
         cp = self._current_path()
-        if not os.path.exists(cp):
+        snap_id = 0
+        if os.path.exists(cp):
+            with open(cp) as f:
+                snap_id = int(f.read().strip())
+        # Forward-scan self-heal: snapshot files are created with O_EXCL
+        # and strictly increasing ids BEFORE the pointer swap, so if
+        # snap-(K+1) exists the pointer is stale — either a writer crashed
+        # between the exclusive snap create and the swap, or two pointer
+        # swaps raced and the older one landed last. Adopting the newest
+        # contiguous snapshot is safe: a snapshot file is only ever
+        # written after its parent check passed, and its data files are
+        # fully written and fsynced before the commit is attempted (the
+        # crashed writer's retry finds the batch already applied — the
+        # idempotent-replay path). One os.path.exists per read in the
+        # common case.
+        healed = snap_id
+        while os.path.exists(
+            os.path.join(self._meta_dir, f"snap-{healed + 1}.json")
+        ):
+            healed += 1
+        if healed == 0:
             return None
-        with open(cp) as f:
-            snap_id = f.read().strip()
-        with open(os.path.join(self._meta_dir, f"snap-{snap_id}.json")) as f:
+        with open(os.path.join(self._meta_dir, f"snap-{healed}.json")) as f:
             return json.load(f)
 
     def snapshot_meta(self, snapshot_id: int) -> dict:
@@ -411,32 +429,35 @@ class ParquetLake:
                 self._write_refs(refs)
         return existed
 
-    @contextmanager
-    def _commit_lock(self):
-        """Cross-process mutual exclusion for the metadata commit —
-        O_CREAT|O_EXCL on a lock file is atomic on POSIX filesystems.
-        Held only for the manifest check+write+swap (milliseconds,
-        data-size independent), NEVER across a Spark job, so writer
-        throughput is unaffected. A lock file older than
-        COMMIT_LOCK_STALE_SEC is presumed left by a crashed holder and
-        broken (best-effort: two breakers racing is harmless, the
-        O_EXCL acquire still admits exactly one)."""
-        lock_path = os.path.join(self._meta_dir, "commit.lock")
+    def _lock_path(self) -> str:
+        return os.path.join(self._meta_dir, "commit.lock")
+
+    def _lock_acquire(self) -> str:
+        """Acquire the commit lock; returns the owner token. O_CREAT|O_EXCL
+        is atomic on POSIX filesystems; the file holds a unique token so
+        release and stale-breaking are OWNERSHIP-CHECKED — a resumed
+        writer whose lock was broken while it was stalled can no longer
+        unlink the new holder's lock (the lost-batch race a blind
+        finally-unlink allowed)."""
+        lock_path = self._lock_path()
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + COMMIT_LOCK_TIMEOUT_SEC
         while True:
             try:
                 fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
+                os.write(fd, token.encode())
+                os.close(fd)
+                return token
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(lock_path).st_mtime
+                    st = os.stat(lock_path)
+                    with open(lock_path) as f:
+                        holder = f.read()
                 except OSError:
                     continue  # holder released between EXCL and stat
+                age = time.time() - st.st_mtime
                 if age > COMMIT_LOCK_STALE_SEC:
-                    try:
-                        os.unlink(lock_path)
-                    except OSError:
-                        pass
+                    self._lock_break(holder)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -444,15 +465,66 @@ class ParquetLake:
                         "another writer is stuck mid-commit"
                     )
                 time.sleep(0.01)
+
+    def _lock_break(self, stale_token: str) -> None:
+        """Break a presumed-dead holder's lock, guarding against the
+        holder having RELEASED (and another writer acquired) between our
+        stat and the break: rename the lock aside (atomic — two breakers
+        race on the rename, one wins), verify the sidecar still holds the
+        token we judged stale, and if it does not, try to restore it via
+        os.link (fails harmlessly if a new lock already exists). The
+        unlink-by-path this replaces could silently break a FRESH lock."""
+        lock_path = self._lock_path()
+        side = f"{lock_path}.breaking.{uuid.uuid4().hex}"
         try:
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
-            os.close(fd)
-            yield
+            os.rename(lock_path, side)
+        except OSError:
+            return  # someone else broke or released it first
+        try:
+            with open(side) as f:
+                got = f.read()
+            if got != stale_token:
+                # we displaced a lock that changed hands after our stat —
+                # put it back if the slot is still empty
+                try:
+                    os.link(side, lock_path)
+                except OSError:
+                    pass
         finally:
             try:
-                os.unlink(lock_path)
+                os.unlink(side)
             except OSError:
                 pass
+
+    def _lock_release(self, token: str) -> None:
+        """Release only OUR lock: a holder that stalled past
+        COMMIT_LOCK_STALE_SEC and was broken must not unlink the next
+        writer's lock. (The read-then-unlink window is microseconds and
+        only reachable after a >30s stall was already broken — the
+        O_EXCL-created snapshot files below backstop even that.)"""
+        lock_path = self._lock_path()
+        try:
+            with open(lock_path) as f:
+                if f.read() != token:
+                    return
+            os.unlink(lock_path)
+        except OSError:
+            pass
+
+    @contextmanager
+    def _commit_lock(self):
+        """Cross-process mutual exclusion for the metadata commit. Held
+        only for the manifest check+write+swap (milliseconds, data-size
+        independent), NEVER across a Spark job, so writer throughput is
+        unaffected. Ownership-checked acquire/release/stale-break above;
+        the exclusive snapshot-file create in _commit_snapshot_unlocked
+        turns any residual double-admission into a loud CommitConflict
+        instead of a silently lost commit."""
+        token = self._lock_acquire()
+        try:
+            yield
+        finally:
+            self._lock_release(token)
 
     def _commit_snapshot(self, meta: dict) -> None:
         """Commit one manifest with optimistic concurrency control: under
@@ -513,10 +585,28 @@ class ParquetLake:
         # design claims to prevent. O(ms) per commit, data-size
         # independent.
         snap_file = os.path.join(self._meta_dir, f"snap-{meta['id']}.json")
-        with open(snap_file, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
+        payload = json.dumps(meta)
+        try:
+            # O_EXCL: snapshot files are immutable and ids single-assign.
+            # If two writers ever reach this point for the same id (a
+            # stale-broken lock whose holder resumed — see _commit_lock),
+            # the loser fails LOUDLY here and rebases, instead of both
+            # writers last-wins-overwriting snap file + pointer and one
+            # committed batch silently vanishing.
+            fd = os.open(snap_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+        except FileExistsError:
+            with open(snap_file) as f:
+                existing = f.read()
+            if existing != payload:
+                raise CommitConflict(
+                    self.current_meta() or self._empty_meta(), meta
+                )
+            # identical content: our own crash-retry after writing the
+            # snap but before the pointer swap — fall through to the swap
         tmp = os.path.join(self._meta_dir, f".current.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(meta["id"]))
@@ -1599,26 +1689,54 @@ class ParquetLake:
         live downstream consumer that re-pins its checkpoint after every
         sync can therefore never be outrun by retention; an abandoned
         pin holds history until unpin_snapshot removes it."""
-        meta = self.current_meta()
-        if meta is None:
-            return {"removed_snapshots": 0, "removed_dirs": 0}
-        snaps = sorted(
-            (
-                int(f[len("snap-"):-len(".json")])
-                for f in os.listdir(self._meta_dir)
-                if f.startswith("snap-") and f.endswith(".json")
-            ),
-        )
-        keep = {s for s in snaps if s > meta["id"] - keep_last} | {meta["id"]}
-        pins = self.refs()
-        if pins:
-            floor = min(pins.values())
-            keep |= {s for s in snaps if s >= floor}
+        # The keep-set computation, the pin read, and the snap-file
+        # deletion run under the COMMIT LOCK: pin_snapshot verifies the
+        # snap file exists and writes refs under the same lock, so a pin
+        # that reports success can never be outrun by a concurrent expire
+        # reading refs a moment earlier (the race would force the pinned
+        # consumer into a full resync — the exact outcome pins exist to
+        # prevent). Metadata-only, O(ms); the data-dir sweep below runs
+        # OUTSIDE the lock (rmtree of large trees must not stall writers).
+        with self._commit_lock():
+            meta = self.current_meta()
+            if meta is None:
+                return {"removed_snapshots": 0, "removed_dirs": 0}
+            snaps = sorted(
+                (
+                    int(f[len("snap-"):-len(".json")])
+                    for f in os.listdir(self._meta_dir)
+                    if f.startswith("snap-") and f.endswith(".json")
+                ),
+            )
+            keep = {s for s in snaps if s > meta["id"] - keep_last}
+            keep |= {meta["id"]}
+            pins = self.refs()
+            if pins:
+                floor = min(pins.values())
+                keep |= {s for s in snaps if s >= floor}
 
+            removed_snaps = 0
+            for s in snaps:
+                if s not in keep:
+                    try:
+                        os.remove(
+                            os.path.join(self._meta_dir, f"snap-{s}.json")
+                        )
+                        removed_snaps += 1
+                    except OSError:
+                        pass
+
+        # Referenced set for the dir sweep: read from the snap files that
+        # exist NOW (post-deletion, post-lock) — this also picks up any
+        # snapshot committed while we held or released the lock, so a
+        # freshly committed dir is never treated as orphaned even with
+        # orphan_grace_sec=0.
         referenced: set[str] = set()
-        for s in keep:
+        for f_name in os.listdir(self._meta_dir):
+            if not (f_name.startswith("snap-") and f_name.endswith(".json")):
+                continue
             try:
-                with open(os.path.join(self._meta_dir, f"snap-{s}.json")) as f:
+                with open(os.path.join(self._meta_dir, f_name)) as f:
                     m = json.load(f)
             except OSError:
                 continue
@@ -1626,15 +1744,6 @@ class ParquetLake:
                 referenced.add(p.split(os.sep + BUCKET_COL + "=", 1)[0])
             for d in m.get("deltas", []):
                 referenced.add(d["path"] if isinstance(d, dict) else d)
-
-        removed_snaps = 0
-        for s in snaps:
-            if s not in keep:
-                try:
-                    os.remove(os.path.join(self._meta_dir, f"snap-{s}.json"))
-                    removed_snaps += 1
-                except OSError:
-                    pass
 
         removed_dirs = 0
         data_root = os.path.join(self.table_dir, "data")

@@ -119,10 +119,55 @@ def test_crash_between_segment_and_checkpoint(spark, tmp_path):
     assert len(sync._segments(None)) > len(sync._segments(sync.last_synced()))
     assert _sha_state(sync.state()) == before
 
+    # re-run without the crash: the retry overwrites its own orphan and
+    # commits
     sync._pre_checkpoint_hook = None
     s = sync.sync_once()
     assert s["status"] == "synced"
     _assert_index_matches_lake(sync, lake)
+
+
+def test_orphan_segment_cannot_resurrect_after_lake_advances(spark, tmp_path):
+    """The sharper orphan case: the crashed sync's segment targets
+    snapshot X, but by the time the sync RETRIES the lake has advanced to
+    Y > X — the retry writes seg-Y (a different name, so the overwrite
+    never touches seg-X) and checkpoints Y, at which point read-side
+    fencing (seq <= checkpoint) no longer hides seg-X. A key inserted in
+    the orphan's range and deleted before Y has no row in seg-Y (its net
+    transition over (F, Y] is absent->absent), so without the orphan
+    SWEEP its stale insert in seg-X would be the key's only — and winning
+    — row: a deleted document resurrected, permanently."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=100, snapshot_retention=50)
+    sync = SearchIndexSync(spark, str(tmp_path / "index"), lake)
+    _feed(spark, lake, 0, [_upsert(1, 1, 1)])
+    sync.sync_once()  # checkpoint F
+
+    # range (F, X]: key 9 inserted; the sync crashes before checkpointing
+    _feed(spark, lake, 1, [_upsert(9, 1, 10)])
+
+    class Boom(Exception):
+        pass
+
+    def crash():
+        raise Boom()
+
+    sync._pre_checkpoint_hook = crash
+    with pytest.raises(Boom):
+        sync.sync_once()
+    orphan_count = len(sync._segments(None))
+
+    # the lake advances past X before the retry: key 9 deleted
+    _feed(spark, lake, 2, [_delete(9, 20)])
+
+    sync._pre_checkpoint_hook = None
+    s = sync.sync_once()
+    assert s["status"] == "synced"
+    # the retry swept the orphan (it is not fenced by seq <= checkpoint
+    # anymore), and key 9 must NOT resurrect
+    assert len(sync._segments(None)) < orphan_count
+    _assert_index_matches_lake(sync, lake)
+    assert ("r", "p9") not in _sha_state(sync.state())
 
 
 def test_vacuum_preserves_state_and_crash_safety(spark, tmp_path):
