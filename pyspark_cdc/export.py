@@ -97,8 +97,14 @@ def export_changes_log(
         if meta is None:
             raise ValueError("empty lake: nothing to export")
         to_snapshot_id = meta["id"]
+    # departures=False: the export target is a KEY-based store (another
+    # lake resolving LWW per key), where a migrated key's arrival upsert
+    # alone moves it; a departure delete would ride the SAME ordering
+    # tokens as the arrival and tie at the replica's LWW (per-route
+    # consumers get departures from read_changes/SearchIndexSync instead)
     changes = lake.read_changes(
-        from_snapshot_id, to_snapshot_id, include_internal=True, route=route
+        from_snapshot_id, to_snapshot_id, include_internal=True, route=route,
+        departures=False,
     )
     env = changes_to_envelopes(changes)
 

@@ -223,10 +223,17 @@ class SearchIndexSync:
     # ---------------- read side ----------------
 
     def state(self, route: str | None = None) -> DataFrame:
-        """Current index state: per key, the row with the highest segment
-        sequence wins (PK-replace), delete tombstones mask and are then
-        dropped. One scan over the committed segments; route=X prunes to
-        that index's partition directories."""
+        """Current index state: per (key, route) — one document slot per
+        index, Meilisearch's model (the same PK in two indexes is two
+        documents) — the row with the highest segment sequence wins
+        (PK-replace), delete tombstones mask and are then dropped.
+        Per-route resolution is what makes a migrated key converge on a
+        route_stable_keys=False lake: the departure tombstone masks the
+        old route's document while the new route's upsert lands
+        independently (per-key resolution would tie them at one sequence);
+        on a stable-keys lake a key only ever has one route, so the
+        grouping is identical. One scan over the committed segments;
+        route=X prunes to that index's partition directories."""
         segs = self._segments(self.last_synced())
         if not segs:
             return (
@@ -243,12 +250,13 @@ class SearchIndexSync:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
-        non_key = [c for c in df.columns if c not in KEY_COLS]
+        group = [*KEY_COLS, ROUTE_COL]
+        non_key = [c for c in df.columns if c not in group]
         row = F.struct(*[F.col(c) for c in non_key])
         win = (
-            df.groupBy(*KEY_COLS)
+            df.groupBy(*group)
             .agg(F.max_by(row, F.col(SEQ_COL)).alias("_w"))
-            .select(*KEY_COLS, "_w.*")
+            .select(*group, "_w.*")
         )
         return win.filter(
             ~F.coalesce(F.col(SEG_DELETED_COL), F.lit(False))
@@ -275,12 +283,13 @@ class SearchIndexSync:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
-        non_key = [c for c in df.columns if c not in KEY_COLS]
+        group = [*KEY_COLS, ROUTE_COL]
+        non_key = [c for c in df.columns if c not in group]
         row = F.struct(*[F.col(c) for c in non_key])
         merged = (
-            df.groupBy(*KEY_COLS)
+            df.groupBy(*group)
             .agg(F.max_by(row, F.col(SEQ_COL)).alias("_w"))
-            .select(*KEY_COLS, "_w.*")
+            .select(*group, "_w.*")
         )
         # unique suffix: never collide with the live seg of the same seq
         out_dir = os.path.join(

@@ -253,6 +253,7 @@ class ParquetLake:
         minhash_bands: bool = False,
         orphan_grace_sec: float = 0.0,
         snapshot_retention: int = SNAPSHOT_RETENTION,
+        route_stable_keys: bool = True,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown lake mode: {mode}")
@@ -315,6 +316,24 @@ class ParquetLake:
         # `snapshot_retention` commits (the Iceberg/Delta CDF retention
         # contract). Raise it for slow consumers; manifests are O(KB).
         self.snapshot_retention = snapshot_retention
+        # Contract switch for ROUTE-SCOPED reads and feeds. True (the
+        # default, and the reference's deployment shape — one topic per
+        # Postgres table, sync.go:58-64, so a primary key can never move
+        # between routes): tenant reads prune deltas and range entries by
+        # the manifest route lists and filter rows per-route BEFORE LWW,
+        # which is exact precisely because no key ever changes route.
+        # False: keys MAY migrate routes (field-derived routing where the
+        # routing column is mutable); tenant reads then resolve LWW over
+        # ALL routes of the delta-touched buckets and filter WINNERS by
+        # route (read(route=X) == read().filter(route==X) under arbitrary
+        # migrations), and read_changes additionally emits a DEPARTURE
+        # delete to the old route when a key's winning route changes —
+        # without it a per-tenant downstream index would serve the
+        # migrated document forever. The exactness costs the tenant
+        # pruning on the delta/backlog side (any route's new version can
+        # evict a tenant's key), which is why it is a declared table
+        # contract and not always-on.
+        self.route_stable_keys = route_stable_keys
         # test-only injection point: called before every optimistic
         # commit attempt (see _commit_with_rebase) so tests can land a
         # concurrent commit in the read->commit window deterministically
@@ -2095,7 +2114,7 @@ class ParquetLake:
 
     def _read_mor_subset(
         self, meta: dict, extra_cols: list[str], route: str | None,
-        touched: list[int],
+        touched: list[int], migration_exact: bool = False,
     ):
         """Steady-state MoR read with the base SPLIT by the manifest's
         touched-bucket lists: the bucket of a key is a pure function of the
@@ -2112,10 +2131,19 @@ class ParquetLake:
         the same argument as the subset major: an untouched bucket has no
         delta versions, so LWW over (bucket ∪ ∅) is the bucket unchanged.
 
+        migration_exact=True is the tenant read under
+        route_stable_keys=False: the join branch reads the touched
+        buckets across ALL routes so any route's newer version can evict
+        the tenant's key, and its resolved winners are filtered on route
+        AFTERWARDS; the pass-through branch stays tenant-pruned either
+        way (an untouched bucket's base rows are global winners — their
+        stored route IS their winning route).
+
         Returns (df, unsigned_possible) — the second element feeds read()'s
         signature fill (only delta-sourced winners can be unsigned)."""
+        join_route = None if migration_exact else route
         base_t, delta = self._read_split(
-            meta, extra_cols, route=route, buckets=touched
+            meta, extra_cols, route=join_route, buckets=touched
         )
         base_u = self._read_base(
             meta, extra_cols, route=route,
@@ -2129,6 +2157,8 @@ class ParquetLake:
             resolved = resolve_lww(delta)
         else:
             resolved = self._merge_read_broadcast(base_t, delta)
+        if migration_exact and resolved is not None and route is not None:
+            resolved = resolved.filter(F.col(ROUTE_COL) == route)
         parts = [p for p in (resolved, base_u) if p is not None]
         if not parts:
             return (
@@ -2191,11 +2221,17 @@ class ParquetLake:
         expire_snapshots once no retained snapshot references them).
 
         route=X is the tenant-scoped read (Q11, the reference's per-tenant
-        index): only that route's partition directories are listed and
-        scanned — manifest-level bucket/delta pruning plus PartitionFilters
-        on the route dirs. LWW is resolved within the tenant's rows alone,
-        which is exact because route is functionally determined by the
-        merge key (every version of a key lives under one route)."""
+        index). Under route_stable_keys=True (default): only that route's
+        partition directories are listed and scanned — manifest-level
+        bucket/delta pruning plus PartitionFilters on the route dirs, and
+        LWW is resolved within the tenant's rows alone, exact because the
+        table contract says no key ever changes route. Under
+        route_stable_keys=False (mutable routing field): LWW is resolved
+        across ALL routes of the delta-touched buckets and the WINNERS
+        are filtered on route, so read(route=X) equals
+        read().filter(route == X) under arbitrary migrations — untouched
+        buckets still pass through tenant-pruned (their base rows are
+        global winners, so their stored route is their winning route)."""
         meta = (
             self.snapshot_meta(snapshot_id)
             if snapshot_id is not None
@@ -2216,21 +2252,29 @@ class ParquetLake:
             # without bucket lists fall back to the whole-base broadcast
             # join); large backlog (or no base) => the global LWW
             # aggregate.
+            # migration-exact tenant reads size and prune the delta side
+            # WITHOUT the route (any route's newer version can evict this
+            # tenant's key) and filter winners on route afterwards
+            migration_exact = route is not None and not self.route_stable_keys
+            prune_route = None if migration_exact else route
             touched = (
-                self._delta_touched_buckets(meta, route=route)
+                self._delta_touched_buckets(meta, route=prune_route)
                 if meta.get("deltas") and meta["buckets"]
                 else None
             )
             if (
                 touched is not None
-                and self._delta_bytes(meta, route=route)
+                and self._delta_bytes(meta, route=prune_route)
                 <= self.broadcast_delta_bytes
             ):
                 df, unsigned_possible = self._read_mor_subset(
-                    meta, extra_cols, route, touched
+                    meta, extra_cols, route, touched,
+                    migration_exact=migration_exact,
                 )
             else:
-                base, delta = self._read_split(meta, extra_cols, route=route)
+                base, delta = self._read_split(
+                    meta, extra_cols, route=prune_route
+                )
                 # only delta-sourced winners can be unsigned: every base
                 # writer runs the post-LWW fill, so a base-only read
                 # carries a complete signature column set by construction
@@ -2244,7 +2288,7 @@ class ParquetLake:
                 elif base is None:
                     df = resolve_lww(delta)
                 elif (
-                    self._delta_bytes(meta, route=route)
+                    self._delta_bytes(meta, route=prune_route)
                     <= self.broadcast_delta_bytes
                 ):
                     df = self._merge_read_broadcast(base, delta)
@@ -2252,6 +2296,8 @@ class ParquetLake:
                     df = resolve_lww(
                         base.unionByName(delta, allowMissingColumns=True)
                     )
+                if migration_exact:
+                    df = df.filter(F.col(ROUTE_COL) == route)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         if self.minhash_bands and keep_signatures and unsigned_possible:
@@ -2493,6 +2539,7 @@ class ParquetLake:
         to_snapshot_id: int | None = None,
         include_internal: bool = False,
         route: str | None = None,
+        departures: bool | None = None,
     ) -> DataFrame:
         """Net row-level changes between two snapshots — the Delta Lake
         CDF / Iceberg incremental-read analog, and the lake's downstream
@@ -2518,6 +2565,19 @@ class ParquetLake:
         nothing; a re-upsert with identical content but a newer version
         IS an update — downstream PK-replace is idempotent, and deciding
         otherwise would cost a full-width column comparison).
+
+        Under route_stable_keys=False (mutable routing field), the feed
+        additionally treats the downstream as a set of PER-ROUTE indexes:
+        a key whose winning route changed emits an 'insert' into the new
+        route AND a 'delete' with the OLD route (the departure row — null
+        payload, the key identifies the document), so a per-tenant
+        consumer never serves a migrated document forever. Apply the rows
+        per (key, route) in that mode. `departures=False` opts a
+        migrating lake's feed back into route-AGNOSTIC per-key
+        classification — the right shape for a KEY-based downstream
+        (lake-to-lake replication via export: a departure delete would
+        carry the same ordering tokens as the arrival upsert and tie at
+        the replica's LWW); use it only with route=None.
 
         Cost: O(range delta bytes) for the new versions (the per-commit
         manifest diff collects exactly the delta files appended in the
@@ -2576,15 +2636,21 @@ class ParquetLake:
             return empty
 
         # route=X scopes the feed to one tenant (a per-tenant downstream
-        # consumer, the reference's one-index-per-collection shape): range
-        # deltas whose manifest route list excludes X are skipped whole,
-        # the rest filter on the route data column, and the prior read
-        # prunes the same way. Exact because route is functionally
-        # determined by the merge key — a key's versions all share one
-        # route, so tenant-local LWW equals global LWW for those keys.
-        if route is not None:
+        # consumer, the reference's one-index-per-collection shape).
+        # Under route_stable_keys=True: range deltas whose manifest route
+        # list excludes X are skipped whole, the rest filter on the route
+        # data column, and the prior read prunes the same way — exact
+        # because the table contract says a key's versions all share one
+        # route. Under route_stable_keys=False: NO route pruning (a
+        # migration away from X is signalled by a version routed
+        # elsewhere), the classification below is route-aware, DEPARTURE
+        # deletes are emitted to the old route, and the tenant filter
+        # lands on the OUTPUT rows.
+        prune_route = route if self.route_stable_keys else None
+        if prune_route is not None:
             entries = [
-                d for d in entries if self._delta_matches_route(d, route)
+                d for d in entries
+                if self._delta_matches_route(d, prune_route)
             ]
             if not entries:
                 return empty
@@ -2595,15 +2661,17 @@ class ParquetLake:
             dp = os.path.join(self.table_dir, d["path"])
             if d.get("format") == "parsed":
                 parts.append(
-                    self._flatten_parsed_delta(dp, extra_cols, route=route)
+                    self._flatten_parsed_delta(
+                        dp, extra_cols, route=prune_route
+                    )
                 )
             else:
                 flat = (
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(dp)
                 )
-                if route is not None and ROUTE_COL in flat.columns:
-                    flat = flat.filter(F.col(ROUTE_COL) == route)
+                if prune_route is not None and ROUTE_COL in flat.columns:
+                    flat = flat.filter(F.col(ROUTE_COL) == prune_route)
                 parts.append(self._route_as_string(flat))
         versions = parts[0]
         for p in parts[1:]:
@@ -2612,11 +2680,17 @@ class ParquetLake:
         winners = resolve_lww(versions).withColumn("__w_ord", packed_ord())
 
         w_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        # migration-exact tenant scope: filter OUTPUT rows on route (the
+        # inputs were deliberately not pruned); no departures can exist
+        # on the insert-only paths below (no prior state to depart from)
+        out_route = None if self.route_stable_keys else route
         if from_meta is None:
             # since the beginning: every surviving winner is an insert
             out = winners.filter(~w_del).withColumn(
                 CHANGE_TYPE_COL, F.lit("insert")
             )
+            if out_route is not None:
+                out = out.filter(F.col(ROUTE_COL) == out_route)
             return out.drop(
                 BUCKET_COL, "__w_ord", *sig,
                 *[c for c in INTERNAL if c not in out_internal],
@@ -2650,7 +2724,7 @@ class ParquetLake:
             or not wset.isdisjoint(int(b) for b in d["buckets"])
         ]
         base, delta = self._read_split(
-            sub, extra_cols, route=route, buckets=sorted(wset)
+            sub, extra_cols, route=prune_route, buckets=sorted(wset)
         )
         if base is None and delta is None:
             prior = None
@@ -2667,6 +2741,8 @@ class ParquetLake:
             out = winners.filter(~w_del).withColumn(
                 CHANGE_TYPE_COL, F.lit("insert")
             )
+            if out_route is not None:
+                out = out.filter(F.col(ROUTE_COL) == out_route)
             return out.drop(
                 BUCKET_COL, "__w_ord", *sig,
                 *[c for c in INTERNAL if c not in out_internal],
@@ -2676,6 +2752,7 @@ class ParquetLake:
             *KEY_COLS,
             F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("__p_deleted"),
             packed_ord().alias("__p_ord"),
+            F.col(ROUTE_COL).alias("__p_route"),
         )
         # classification join: prior is O(touched buckets), winners are
         # O(changes). Semi-prune prior down to the changed keys first;
@@ -2696,20 +2773,80 @@ class ParquetLake:
 
         newer = F.col("__p_ord").isNull() | (F.col("__w_ord") > F.col("__p_ord"))
         existed = F.coalesce(~F.col("__p_deleted"), F.lit(False))
-        ct = (
-            F.when(w_del & existed, F.lit("delete"))
-            .when(~w_del & existed, F.lit("update"))
-            .when(~w_del & ~existed, F.lit("insert"))
-            .otherwise(F.lit(None).cast("string"))
+        use_departures = (
+            (not self.route_stable_keys) if departures is None
+            else departures
         )
-        out = (
-            joined.filter(newer)
-            .withColumn(CHANGE_TYPE_COL, ct)
-            .filter(F.col(CHANGE_TYPE_COL).isNotNull())
-        )
+        if not use_departures:
+            ct = (
+                F.when(w_del & existed, F.lit("delete"))
+                .when(~w_del & existed, F.lit("update"))
+                .when(~w_del & ~existed, F.lit("insert"))
+                .otherwise(F.lit(None).cast("string"))
+            )
+            out = (
+                joined.filter(newer)
+                .withColumn(CHANGE_TYPE_COL, ct)
+                .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+            )
+            if out_route is not None:
+                # migrating lake read with departures=False and route=X
+                # (documented as a key-based-downstream shape; scope it
+                # anyway rather than leak other tenants' rows)
+                out = out.filter(F.col(ROUTE_COL) == out_route)
+        else:
+            # Route-aware classification for mutable routing fields. The
+            # downstream is a SET of per-route indexes (the reference's
+            # one Meilisearch index per collection), so a key whose
+            # winning route changed must emit TWO rows: an insert into
+            # the new route (it never lived there) and a DEPARTURE delete
+            # to the old route (without it the old tenant's index serves
+            # the migrated document forever). A delete whose envelope
+            # carries a different route than the key's prior home emits
+            # only the departure — the winner's own route never held the
+            # document.
+            same_route = F.col("__p_route").eqNullSafe(F.col(ROUTE_COL))
+            existed_here = existed & same_route
+            ct = (
+                F.when(w_del & existed_here, F.lit("delete"))
+                .when(~w_del & existed_here, F.lit("update"))
+                .when(~w_del & ~existed_here, F.lit("insert"))
+                .otherwise(F.lit(None).cast("string"))
+            )
+            normal = (
+                joined.filter(newer)
+                .withColumn(CHANGE_TYPE_COL, ct)
+                .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+            )
+            helper = {"__w_ord", "__p_ord", "__p_deleted", "__p_route"}
+            ord_internal = [c for c in INTERNAL if c != DELETED_COL]
+            keep_as_is = (
+                set(KEY_COLS) | helper | set(ord_internal) | {BUCKET_COL}
+            )
+            types = {f.name: f.dataType for f in joined.schema.fields}
+            dep_cols = []
+            for c in joined.columns:
+                if c == ROUTE_COL:
+                    dep_cols.append(F.col("__p_route").alias(ROUTE_COL))
+                elif c == DELETED_COL:
+                    dep_cols.append(F.lit(True).alias(DELETED_COL))
+                elif c in keep_as_is:
+                    dep_cols.append(F.col(c))
+                else:
+                    # payload columns: the tombstone shape (null payload,
+                    # key identifies the document to remove)
+                    dep_cols.append(F.lit(None).cast(types[c]).alias(c))
+            departures = (
+                joined.filter(newer & existed & ~same_route)
+                .select(*dep_cols)
+                .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+            )
+            out = normal.unionByName(departures)
+            if out_route is not None:
+                out = out.filter(F.col(ROUTE_COL) == out_route)
         return out.drop(
-            BUCKET_COL, "__w_ord", "__p_ord", "__p_deleted", *sig,
-            *[c for c in INTERNAL if c not in out_internal],
+            BUCKET_COL, "__w_ord", "__p_ord", "__p_deleted", "__p_route",
+            *sig, *[c for c in INTERNAL if c not in out_internal],
         )
 
     def destroy(self) -> None:
