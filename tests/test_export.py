@@ -176,3 +176,48 @@ def test_export_cli_checkpointed_chunks(spark, tmp_path):
         replay_batch(spark, os.path.join(out, c), rep, batch_id=i)
     s, r = _norm([_state(src), _state(rep)])
     assert s == r
+
+
+def test_replication_of_a_migrating_lake(spark, tmp_path):
+    """The exporter must stay per-key on a route_stable_keys=False
+    source: a migrated key ships as ONE update carrying the new route —
+    never as the per-route arrival+departure pair, whose delete rides
+    the same ordering tokens as the upsert and would leave the replica's
+    per-key LWW to coin-flip the key into deletion. The replica (also a
+    migrating-routes lake) then serves exact tenant reads of its own."""
+    src = ParquetLake(spark, str(tmp_path / "src"), n_buckets=4,
+                      mode="mor", compact_every=2, major_every=2,
+                      snapshot_retention=50, route_stable_keys=False)
+    rep = ParquetLake(spark, str(tmp_path / "rep"), n_buckets=8, mode="mor",
+                      compact_every=100, route_stable_keys=False)
+
+    _feed(spark, src, 0, [_upsert(1, 1, 1, topic="A"),
+                          _upsert(2, 1, 2, topic="B")])
+    a = src.current_meta()["id"]
+    export_changes_log(src, 0, str(tmp_path / "m1"), to_snapshot_id=a)
+    replay_batch(spark, str(tmp_path / "m1"), rep, batch_id=0)
+
+    # k1 migrates A->B; k2 deleted via an envelope routed A (the
+    # migration+delete composite)
+    _feed(spark, src, 1, [
+        _upsert(1, 2, 10, topic="B"),
+        _rec(_env("d", before={"repo": "r", "path": "p2"}, lsn=11), 11, "A"),
+    ])
+    b = src.current_meta()["id"]
+    export_changes_log(src, a, str(tmp_path / "m2"), to_snapshot_id=b)
+    replay_batch(spark, str(tmp_path / "m2"), rep, batch_id=1)
+
+    src_rows = sorted((r["repo"], r["path"], r["route"], r["content"])
+                      for r in src.read().collect())
+    rep_rows = sorted((r["repo"], r["path"], r["route"], r["content"])
+                      for r in rep.read().collect())
+    assert rep_rows == src_rows == [("r", "p1", "B", "v2-1")]
+
+    # the replica's own tenant reads are migration-exact too
+    from pyspark.sql import functions as F
+    for rt in ("A", "B"):
+        got = sorted((r["repo"], r["path"]) for r in
+                     rep.read(route=rt).collect())
+        want = sorted((r["repo"], r["path"]) for r in
+                      rep.read().filter(F.col("route") == rt).collect())
+        assert got == want, rt

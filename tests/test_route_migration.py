@@ -260,3 +260,109 @@ def test_no_migration_matches_stable_lake(spark, tmp_path):
         cb = _changes(lakes[False][0].read_changes(lakes[False][1],
                                                    route=route))
         assert ca == cb, route
+
+
+# ---------------- property: arbitrary migration interleavings ----------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from pyspark_cdc import oracle as _oracle  # noqa: E402
+
+_KEYS = [("r", "pa"), ("r", "pb"), ("q", "pa")]
+_ROUTES = ["A", "B", "C"]
+
+# one event = (key_idx, route_idx, is_delete, lsn, tx)
+_mig_event = st.tuples(
+    st.integers(0, len(_KEYS) - 1),
+    st.integers(0, len(_ROUTES) - 1),
+    st.booleans(),
+    st.integers(1, 20),   # small lsn range forces collisions/ties
+    st.integers(0, 2),
+)
+_mig_events = st.lists(_mig_event, min_size=1, max_size=18)
+
+
+def _mig_record(ev, offset):
+    key_idx, route_idx, is_delete, lsn, tx = ev
+    repo, path = _KEYS[key_idx]
+    topic = _ROUTES[route_idx]
+    payload = {"op": "d" if is_delete else "u",
+               "source": {"lsn": lsn, "ts_ms": lsn},
+               "transaction": {"id": tx}}
+    if is_delete:
+        payload["before"] = {"repo": repo, "path": path}
+    else:
+        payload["after"] = {"repo": repo, "path": path, "commit": f"c{lsn}",
+                            "lang": "py",
+                            "content": f"content {repo}/{path} v{lsn}.{tx}"}
+    return {"key": None, "value": json.dumps({"payload": payload}),
+            "topic": topic, "partition": 0, "offset": offset}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_mig_events, data=st.data())
+def test_migration_interleavings_match_oracle_and_filtered_reads(
+    spark, tmp_path_factory, evs, data
+):
+    """Arbitrary upsert/delete sequences where every event may carry a
+    DIFFERENT route for the same key, split into arbitrary micro-batches
+    across inline folds of both tiers: (1) the global read equals the
+    pure-Python oracle including the winning route, (2) every tenant
+    read equals the filtered global read (the migration-exact
+    invariant), and (3) the change feed from an arbitrary intermediate
+    snapshot, applied per (key, route), reproduces the final state —
+    departures included."""
+    recs = [_mig_record(e, off) for off, e in enumerate(evs)]
+    n_splits = data.draw(st.integers(0, min(2, len(recs) - 1)),
+                         label="n_splits")
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, max(1, len(recs) - 1)),
+                     min_size=n_splits, max_size=n_splits),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(recs)]:
+        if recs[prev:c]:
+            batches.append(recs[prev:c])
+        prev = c
+
+    tmp = str(tmp_path_factory.mktemp("mig_lake"))
+    lake = ParquetLake(spark, tmp, n_buckets=4, mode="mor",
+                       compact_every=2, major_every=2,
+                       snapshot_retention=100, route_stable_keys=False)
+    snap_ids = []
+    for i, batch in enumerate(batches):
+        _feed(spark, lake, i, batch)
+        snap_ids.append(lake.current_meta()["id"])
+
+    # (1) global read == oracle, winning route included
+    want = {
+        k: (v["route"], v.get("content"))
+        for k, v in _oracle.replay(recs)["state"].items()
+    }
+    got = {(r["repo"], r["path"]): (r["route"], r["content"])
+           for r in lake.read().collect()}
+    assert got == want
+
+    # (2) tenant read == filtered global read, every route
+    full = lake.read()
+    for rt in _ROUTES:
+        a = _state_rows(lake.read(route=rt))
+        b = _state_rows(full.filter(F.col("route") == rt))
+        assert a == b, rt
+
+    # (3) feed apply-invariant per (key, route) from a random snapshot
+    frm = data.draw(st.sampled_from(snap_ids), label="from_snapshot")
+    applied = {(r, p, rt): c
+               for (r, p, rt, c) in _state_rows(lake.read(snapshot_id=frm))}
+    for r, p, rt, ct, content in _changes(lake.read_changes(frm)):
+        if ct == "delete":
+            applied.pop((r, p, rt), None)
+        else:
+            applied[(r, p, rt)] = content
+    final = {(r, p, rt): c for (r, p, rt, c) in _state_rows(lake.read())}
+    assert applied == final
