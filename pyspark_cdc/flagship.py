@@ -26,6 +26,7 @@ def _cached_lake(
     n_buckets: int,
     route_from_fields: bool = False,
     minhash_bands: bool = False,
+    route_stable_keys: bool = True,
 ):
     """Build-once-per-process lake over a pure-Python log: first call
     replays the log into a kept tempdir, later calls reopen it."""
@@ -37,6 +38,7 @@ def _cached_lake(
         lake = ParquetLake(
             spark, os.path.join(lake_root, "lake"), n_buckets=n_buckets,
             mode="mor", minhash_bands=minhash_bands,
+            route_stable_keys=route_stable_keys,
         )
         replay_batch(
             spark, log_dir, lake, route_from_fields=route_from_fields
@@ -46,6 +48,7 @@ def _cached_lake(
     return ParquetLake(
         spark, os.path.join(_CACHE[cache_key], "lake"), n_buckets=n_buckets,
         mode="mor", minhash_bands=minhash_bands,
+        route_stable_keys=route_stable_keys,
     )
 
 
@@ -63,12 +66,17 @@ def flagship_lake(spark: SparkSession):
 def fieldroute_lake(spark: SparkSession):
     """Lake built from the field-route log with route_from_fields=True —
     the reference's exact ResolveIndex routing (sync.go:176-196) driving
-    the engine's route-partitioned layout end to end."""
+    the engine's route-partitioned layout end to end. Field-derived
+    routes are MUTABLE (the log contains keys whose collection value
+    changes mid-stream), so this lake declares route_stable_keys=False:
+    its tenant-scoped reads resolve winner-route-exact, which the
+    cdc_engine_field_routes oracle row checks against the DuckDB global
+    ranking."""
     from .pylog import ensure_fieldroute_log
 
     return _cached_lake(
         spark, "fieldroute", ensure_fieldroute_log(), n_buckets=8,
-        route_from_fields=True,
+        route_from_fields=True, route_stable_keys=False,
     )
 
 

@@ -171,7 +171,7 @@ def ensure_flagship_log(base_dir: str = FLAGSHIP_DIR, n_files: int = 4) -> str:
 # (decoy inner values that MUST lose), delete routes from `before`, and
 # missing/empty fields -> 'missing_route' dead letters.
 
-FIELDROUTE_VERSION = 1
+FIELDROUTE_VERSION = 2
 FIELDROUTE_N_EVENTS = 3_000
 FIELDROUTE_N_KEYS = 400
 FIELDROUTE_DIR = f"/tmp/pyspark_cdc_fieldroute_log_v{FIELDROUTE_VERSION}"
@@ -190,10 +190,18 @@ def fieldroute_events(
         key_id = _h(i, "fr-key") % n_keys
         repo = f"org{key_id % 20}/proj"
         path = f"src/f{key_id}.py"
-        # route fields are a function of the KEY (route is functionally
-        # determined by the merge key, as one source table -> one index)
+        # route fields are mostly a function of the KEY (one source table
+        # -> one index)… except for a small deterministic set of keys
+        # whose `collection` value CHANGES halfway through the log — the
+        # mutable-routing-field migration the route_stable_keys=False
+        # contract exists for. The field-route lake is built with that
+        # contract, so the driver-checkable row exercises migration-exact
+        # winner-route semantics against the oracle's global ranking.
         app = _APPS[key_id % len(_APPS)]
-        coll = _COLLECTIONS[(key_id // len(_APPS)) % len(_COLLECTIONS)]
+        coll_idx = (key_id // len(_APPS)) % len(_COLLECTIONS)
+        if key_id % 31 == 7 and i >= n_events // 2:
+            coll_idx = (coll_idx + 1) % len(_COLLECTIONS)
+        coll = _COLLECTIONS[coll_idx]
         md = hashlib.md5(f"{repo}|{path}|{lsn}".encode()).hexdigest()
         doc = {
             "repo": repo,

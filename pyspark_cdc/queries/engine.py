@@ -312,6 +312,11 @@ SELECT status, count(*) AS n FROM cls GROUP BY status
 
 _FRAW = "read_parquet('{dir}/*.parquet')"
 
+# Routes probed through the tenant-scoped (migration-exact) read path in
+# cdc_engine_field_routes: shop keys whose collection flips users ->
+# products mid-log make these the migration SOURCE and DESTINATION.
+FIELDROUTE_TENANTS = ("shop_users", "shop_products")
+
 _F_APP = f"""CASE WHEN {_OP} = 'd' THEN json_extract_string({_BEFORE}, '$.app_name')
          WHEN json_type({_AFTER}, '$.app_name') IS NOT NULL
               THEN json_extract_string({_AFTER}, '$.app_name')
@@ -343,14 +348,30 @@ def cdc_engine_field_routes(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("status").alias("kind"), F.col("status").alias("name"), "n")
     )
+    lake = fieldroute_lake(spark)
     finals = (
-        fieldroute_lake(spark)
-        .read()
+        lake.read()
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("route").alias("kind"), F.col("route").alias("name"), "n")
     )
-    return statuses.unionByName(finals)
+    # Tenant-scoped reads through the MIGRATION-EXACT path (the log
+    # contains keys whose collection field changes mid-stream and the
+    # lake declares route_stable_keys=False): each count must equal the
+    # oracle's global-ranking winners for that route — i.e.
+    # read(route=X) == read().filter(route == X) under migration, as a
+    # driver-checkable fact, for the migration source and destination
+    # routes.
+    tenants = [
+        lake.read(route=rt)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("tenant").alias("kind"), F.lit(rt).alias("name"), "n")
+        for rt in FIELDROUTE_TENANTS
+    ]
+    out = statuses.unionByName(finals)
+    for t in tenants:
+        out = out.unionByName(t)
+    return out
 
 
 def _fieldroute_sql() -> str:
@@ -400,8 +421,18 @@ WITH raw AS (
 ), routes AS (
   SELECT 'route' AS kind, route AS name, count(*) AS n
   FROM ranked WHERE rn = 1 AND NOT is_del GROUP BY route
+), tenant AS (
+  -- the migration-exact tenant-read counts: rank per KEY across ALL
+  -- routes (a later version under another collection evicts the key),
+  -- then count winners per probed route — exactly what
+  -- lake.read(route=X) returns under route_stable_keys=False
+  SELECT 'tenant' AS kind, route AS name, count(*) AS n
+  FROM ranked WHERE rn = 1 AND NOT is_del
+    AND route IN ({", ".join(f"'{t}'" for t in FIELDROUTE_TENANTS)})
+  GROUP BY route
 )
 SELECT * FROM statuses UNION ALL SELECT * FROM routes
+UNION ALL SELECT * FROM tenant
 """
 
 
