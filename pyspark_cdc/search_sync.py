@@ -241,6 +241,18 @@ class SearchIndexSync:
                     [], "repo string, path string"
                 )
             )
+        win = self._resolve_segments(segs, route=route)
+        return win.filter(
+            ~F.coalesce(F.col(SEG_DELETED_COL), F.lit(False))
+        ).drop(SEG_DELETED_COL, SEQ_COL)
+
+    def _resolve_segments(
+        self, segs: list[tuple[int, str]], route: str | None = None
+    ) -> DataFrame:
+        """Union the given segments and resolve per (key, route) by
+        highest sequence — winners still carry their tombstone flag and
+        original sequence (state() drops tombstones; vacuum() must keep
+        them)."""
         parts = []
         for _, p in segs:
             df = self.spark.read.option("mergeSchema", "true").parquet(p)
@@ -253,14 +265,11 @@ class SearchIndexSync:
         group = [*KEY_COLS, ROUTE_COL]
         non_key = [c for c in df.columns if c not in group]
         row = F.struct(*[F.col(c) for c in non_key])
-        win = (
+        return (
             df.groupBy(*group)
             .agg(F.max_by(row, F.col(SEQ_COL)).alias("_w"))
             .select(*group, "_w.*")
         )
-        return win.filter(
-            ~F.coalesce(F.col(SEG_DELETED_COL), F.lit(False))
-        ).drop(SEG_DELETED_COL, SEQ_COL)
 
     # ---------------- maintenance ----------------
 
@@ -277,20 +286,7 @@ class SearchIndexSync:
         segs = self._segments(upto)
         if len(segs) <= 1:
             return {"status": "noop", "segments": len(segs)}
-        parts = []
-        for _, p in segs:
-            parts.append(self.spark.read.option("mergeSchema", "true").parquet(p))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
-        group = [*KEY_COLS, ROUTE_COL]
-        non_key = [c for c in df.columns if c not in group]
-        row = F.struct(*[F.col(c) for c in non_key])
-        merged = (
-            df.groupBy(*group)
-            .agg(F.max_by(row, F.col(SEQ_COL)).alias("_w"))
-            .select(*group, "_w.*")
-        )
+        merged = self._resolve_segments(segs)
         # unique suffix: never collide with the live seg of the same seq
         out_dir = os.path.join(
             self.index_dir,

@@ -2684,16 +2684,20 @@ class ParquetLake:
         # inputs were deliberately not pruned); no departures can exist
         # on the insert-only paths below (no prior state to depart from)
         out_route = None if self.route_stable_keys else route
-        if from_meta is None:
-            # since the beginning: every surviving winner is an insert
-            out = winners.filter(~w_del).withColumn(
-                CHANGE_TYPE_COL, F.lit("insert")
-            )
+
+        def finish(out: DataFrame) -> DataFrame:
             if out_route is not None:
                 out = out.filter(F.col(ROUTE_COL) == out_route)
             return out.drop(
-                BUCKET_COL, "__w_ord", *sig,
-                *[c for c in INTERNAL if c not in out_internal],
+                BUCKET_COL, "__w_ord", "__p_ord", "__p_deleted", "__p_route",
+                *sig, *[c for c in INTERNAL if c not in out_internal],
+            )
+
+        if from_meta is None:
+            # since the beginning: every surviving winner is an insert
+            return finish(
+                winners.filter(~w_del)
+                .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
             )
 
         # -- prior state of the changed keys, read from ONLY the buckets
@@ -2738,14 +2742,9 @@ class ParquetLake:
             )
 
         if prior is None:
-            out = winners.filter(~w_del).withColumn(
-                CHANGE_TYPE_COL, F.lit("insert")
-            )
-            if out_route is not None:
-                out = out.filter(F.col(ROUTE_COL) == out_route)
-            return out.drop(
-                BUCKET_COL, "__w_ord", *sig,
-                *[c for c in INTERNAL if c not in out_internal],
+            return finish(
+                winners.filter(~w_del)
+                .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
             )
 
         prior_sel = prior.select(
@@ -2784,70 +2783,68 @@ class ParquetLake:
                 .when(~w_del & ~existed, F.lit("insert"))
                 .otherwise(F.lit(None).cast("string"))
             )
-            out = (
+            return finish(
                 joined.filter(newer)
                 .withColumn(CHANGE_TYPE_COL, ct)
                 .filter(F.col(CHANGE_TYPE_COL).isNotNull())
             )
-            if out_route is not None:
-                # migrating lake read with departures=False and route=X
-                # (documented as a key-based-downstream shape; scope it
-                # anyway rather than leak other tenants' rows)
-                out = out.filter(F.col(ROUTE_COL) == out_route)
-        else:
-            # Route-aware classification for mutable routing fields. The
-            # downstream is a SET of per-route indexes (the reference's
-            # one Meilisearch index per collection), so a key whose
-            # winning route changed must emit TWO rows: an insert into
-            # the new route (it never lived there) and a DEPARTURE delete
-            # to the old route (without it the old tenant's index serves
-            # the migrated document forever). A delete whose envelope
-            # carries a different route than the key's prior home emits
-            # only the departure — the winner's own route never held the
-            # document.
-            same_route = F.col("__p_route").eqNullSafe(F.col(ROUTE_COL))
-            existed_here = existed & same_route
-            ct = (
-                F.when(w_del & existed_here, F.lit("delete"))
-                .when(~w_del & existed_here, F.lit("update"))
-                .when(~w_del & ~existed_here, F.lit("insert"))
-                .otherwise(F.lit(None).cast("string"))
-            )
-            normal = (
-                joined.filter(newer)
-                .withColumn(CHANGE_TYPE_COL, ct)
-                .filter(F.col(CHANGE_TYPE_COL).isNotNull())
-            )
-            helper = {"__w_ord", "__p_ord", "__p_deleted", "__p_route"}
-            ord_internal = [c for c in INTERNAL if c != DELETED_COL]
-            keep_as_is = (
-                set(KEY_COLS) | helper | set(ord_internal) | {BUCKET_COL}
-            )
-            types = {f.name: f.dataType for f in joined.schema.fields}
-            dep_cols = []
-            for c in joined.columns:
-                if c == ROUTE_COL:
-                    dep_cols.append(F.col("__p_route").alias(ROUTE_COL))
+
+        # Route-aware classification for mutable routing fields. The
+        # downstream is a SET of per-route indexes (the reference's one
+        # Meilisearch index per collection), so a key whose winning route
+        # changed must emit TWO rows: an insert into the new route (it
+        # never lived there) and a DEPARTURE delete to the old route
+        # (without it the old tenant's index serves the migrated document
+        # forever). A delete whose envelope carries a different route
+        # than the key's prior home emits only the departure — the
+        # winner's own route never held the document. Both rows are
+        # emitted in ONE pass via explode-of-structs: a union of two
+        # filtered branches would duplicate the whole range-scan +
+        # classification-join subtree in the physical plan (Catalyst does
+        # not share subplans across union branches), doubling the feed's
+        # I/O for migrating lakes.
+        same_route = F.col("__p_route").eqNullSafe(F.col(ROUTE_COL))
+        existed_here = existed & same_route
+        ct = (
+            F.when(w_del & existed_here, F.lit("delete"))
+            .when(~w_del & existed_here, F.lit("update"))
+            .when(~w_del & ~existed_here, F.lit("insert"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        helper = {"__w_ord", "__p_ord", "__p_deleted", "__p_route"}
+        ord_internal = [c for c in INTERNAL if c != DELETED_COL]
+        keep_as_is = set(KEY_COLS) | set(ord_internal) | {BUCKET_COL}
+        types = {f.name: f.dataType for f in joined.schema.fields}
+        out_cols = [c for c in joined.columns if c not in helper]
+
+        def row_struct(departure: bool):
+            fields = []
+            for c in out_cols:
+                if not departure or c in keep_as_is:
+                    fields.append(F.col(c).alias(c))
+                elif c == ROUTE_COL:
+                    fields.append(F.col("__p_route").alias(c))
                 elif c == DELETED_COL:
-                    dep_cols.append(F.lit(True).alias(DELETED_COL))
-                elif c in keep_as_is:
-                    dep_cols.append(F.col(c))
+                    fields.append(F.lit(True).alias(c))
                 else:
                     # payload columns: the tombstone shape (null payload,
                     # key identifies the document to remove)
-                    dep_cols.append(F.lit(None).cast(types[c]).alias(c))
-            departures = (
-                joined.filter(newer & existed & ~same_route)
-                .select(*dep_cols)
-                .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                    fields.append(F.lit(None).cast(types[c]).alias(c))
+            fields.append(
+                (F.lit("delete") if departure else ct)
+                .alias(CHANGE_TYPE_COL)
             )
-            out = normal.unionByName(departures)
-            if out_route is not None:
-                out = out.filter(F.col(ROUTE_COL) == out_route)
-        return out.drop(
-            BUCKET_COL, "__w_ord", "__p_ord", "__p_deleted", "__p_route",
-            *sig, *[c for c in INTERNAL if c not in out_internal],
+            return F.struct(*fields)
+
+        normal_row = F.when(ct.isNotNull(), row_struct(False))
+        departure_row = F.when(existed & ~same_route, row_struct(True))
+        out = (
+            joined.filter(newer)
+            .select(F.explode(F.array(normal_row, departure_row)).alias("_r"))
+            .filter(F.col("_r").isNotNull())
+            .select("_r.*")
         )
+        return finish(out)
 
     def destroy(self) -> None:
         shutil.rmtree(self.table_dir, ignore_errors=True)
