@@ -446,6 +446,39 @@ def main() -> int:
             "touched FROM-snapshot buckets"
         )
 
+    # 4h. migrating-mode feed (route_stable_keys=False): arrival and
+    # departure rows are emitted in ONE pass — a Generate (explode of the
+    # two row structs) over the single classification join. A union of
+    # two filtered branches would duplicate the whole range-scan + join
+    # subtree (Catalyst shares no subplans across union branches), so the
+    # audit pins: explode present, NO Union, and the same number of
+    # parquet scans as the stable-mode plan.
+    mor3_mig = ParquetLake(
+        spark, os.path.join(work, "mor3"), n_buckets=16, mode="mor",
+        compact_every=100, route_stable_keys=False,
+    )
+    mig_df = mor3_mig.read_changes(a_id, b_id)
+    mig_plan = formatted(mig_df)
+    check(
+        "migrating-mode change feed (single-pass departures)",
+        mig_plan,
+        must=["Generate", "explode", "BroadcastHashJoin"],
+        must_not=["Union", "SortMergeJoin", "BatchEvalPython"],
+    )
+    n_scans_stable = plan.count("Scan parquet")
+    n_scans_mig = mig_plan.count("Scan parquet")
+    ok_scans = n_scans_mig == n_scans_stable
+    sections[-1][2].append(
+        f"{'OK ' if ok_scans else 'FAIL'} scan count matches stable-mode "
+        f"plan ({n_scans_mig} vs {n_scans_stable}) — no duplicated "
+        "range-scan subtree"
+    )
+    if not ok_scans:
+        failures.append(
+            "migrating-mode read_changes duplicates parquet scans vs "
+            "stable mode"
+        )
+
     # 5. representative suite queries
     for qname, tokens_must, tokens_not in [
         # AQE plans print codegen ids only at execution; assert structure.
