@@ -1687,6 +1687,49 @@ class ParquetLake:
         self.expire_snapshots(keep_last=self.snapshot_retention)
         return new_meta
 
+    def rollback_to(self, snapshot_id: int) -> dict | None:
+        """Roll the table back to a retained snapshot (the Iceberg
+        rollback_to_snapshot analog — bad-batch recovery): commits a NEW
+        snapshot whose table content equals the target's manifest, so
+        history only moves FORWARD — data dirs are immutable and carried
+        by reference (O(ms) metadata, no data rewrite), the bad commits
+        stay inspectable via time travel until retention expires them,
+        and the batch bookkeeping (watermark + recent ids) reverts with
+        the manifest, so re-ingesting corrected versions of the
+        rolled-back batches applies normally instead of being dropped as
+        duplicates.
+
+        Refuses to race: if ANY other commit lands between reading the
+        current snapshot and the rollback commit, returns None and leaves
+        the table untouched — silently rebasing a rollback over a
+        concurrent ingest commit would drop that commit's data, which is
+        never what the operator meant. Retry in a quiet window.
+
+        The committed manifest carries `rollback: true`: an incremental
+        change read whose range CROSSES a rollback raises (rolled-back
+        row versions would otherwise classify as live changes — the same
+        append-only restriction Iceberg's incremental read has);
+        consumers recover with a resync. Ranges starting AT or after the
+        rollback commit are append-only again and work normally."""
+        target = self.snapshot_meta(snapshot_id)  # raises if expired
+        cur = self.current_meta()
+        if cur is None:
+            raise ValueError("empty lake: nothing to roll back")
+        if cur["id"] == snapshot_id:
+            return cur  # already there
+
+        def build(m: dict) -> dict | None:
+            if m["id"] != cur["id"]:
+                return None  # concurrent commit: refuse (see docstring)
+            new = dict(target)
+            new["id"] = m["id"] + 1
+            new["parent"] = m["id"]
+            new["rollback"] = True
+            new["rolled_back_to"] = int(snapshot_id)
+            return new
+
+        return self._commit_with_rebase(cur, build)
+
     def expire_snapshots(self, keep_last: int = SNAPSHOT_RETENTION) -> dict:
         """Retention maintenance (Iceberg expire_snapshots + delete-orphans
         analog): keep the newest `keep_last` snapshot manifests, delete the
@@ -2497,6 +2540,20 @@ class ParquetLake:
                     f"per snapshot_retention (= {self.snapshot_retention}) "
                     "commits, or raise the retention"
                 ) from None
+            if m.get("rollback"):
+                # Rolled-back row versions inside the range would
+                # classify as live changes (the range's delta files still
+                # hold them, but the state they produced was undone) —
+                # the same append-only restriction Iceberg's incremental
+                # read has. The consumer's recovery is a resync.
+                raise ValueError(
+                    f"snapshot range ({from_id}, {to_id}] crosses a "
+                    f"rollback at snapshot {cur} (rolled back to "
+                    f"{m.get('rolled_back_to')}): incremental changes "
+                    "are undefined across a rollback — resync from a "
+                    "fresh bootstrap, or read changes from the rollback "
+                    "commit onward"
+                )
             chain.append(m)
             cur = m.get("parent")
         chain.reverse()
