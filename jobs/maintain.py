@@ -67,6 +67,11 @@ def main(argv=None) -> int:
                          "under NEW_N key-hash buckets (one atomic commit; "
                          "aborts on any concurrent commit — exit code 3 — "
                          "so cron can retry in a quiet window), then exit")
+    ap.add_argument("--rollback-to", type=int, metavar="SNAPSHOT",
+                    help="bad-batch recovery: roll the table back to this "
+                         "retained snapshot (O(ms) forward metadata commit; "
+                         "refuses any concurrent commit — exit code 3 — "
+                         "retry in a quiet window), then exit")
     ap.add_argument("--once", action="store_true",
                     help="fold at most once and exit (cron deployment)")
     ap.add_argument("--poll-sec", type=float, default=5.0)
@@ -89,6 +94,17 @@ def main(argv=None) -> int:
         compact_every=None, major_every=args.major_every,
         orphan_grace_sec=args.orphan_grace_sec,
     )
+
+    if args.rollback_to is not None:
+        t0 = time.monotonic()
+        new_meta = lake.rollback_to(args.rollback_to)
+        print(json.dumps({
+            "event": "rollback", "to_snapshot": args.rollback_to,
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "snapshot": new_meta.get("id") if new_meta else None,
+            "aborted": new_meta is None,
+        }), flush=True)
+        return 0 if new_meta is not None else 3
 
     if args.rebucket:
         t0 = time.monotonic()

@@ -73,8 +73,10 @@ def main(argv=None) -> int:
         try:
             stats = sync.sync_once()
         except ValueError as e:
-            # fell behind the retention horizon: fail loudly — the
-            # operator (or cron) reruns with --resync
+            # fell behind the retention horizon, or the lake rolled back
+            # across this consumer's checkpoint: fail loudly — the
+            # operator (or cron) reruns with --resync (the only safe
+            # recovery in both cases: the incremental range is undefined)
             print(json.dumps({"event": "error", "error": str(e)}), flush=True)
             return 4
         wall = time.monotonic() - t0

@@ -122,3 +122,35 @@ def test_maintain_once_with_empty_backlog_is_a_noop(spark, tmp_path, capsys):
     done = next(ln for ln in lines if ln["event"] == "done")
     assert done["folds"] == 0 and done["backlog"] == 1
     assert done["snapshot"] == snap_before
+
+
+def test_maintain_rollback_flag(spark, tmp_path, capsys):
+    """maintain --rollback-to N restores the retained snapshot as a new
+    commit, reports it, and exits 0; rolling back to the current
+    snapshot is a no-op success."""
+    maintain = _load_job("maintain.py", "maintain_job_rollback")
+
+    log_dir = str(tmp_path / "log")
+    generate.write_log(spark, log_dir, n_events=600, n_files=2,
+                      n_keys=100, seed=6)
+    table = str(tmp_path / "lake")
+    lake = ParquetLake(spark, table, n_buckets=4, mode="mor",
+                       compact_every=None)
+    from pyspark_cdc.stream import process_batch
+    process_batch(spark.read.parquet(log_dir), 0, lake)
+    good = lake.current_meta()["id"]
+    good_state = set(_final(lake))
+
+    # the bad batch: clobber every key's content
+    bad = spark.read.parquet(log_dir).limit(50)
+    process_batch(bad.withColumn("offset", bad["offset"] + 10_000), 1, lake)
+
+    rc = maintain.main(["--table-dir", table, "--rollback-to", str(good)])
+    assert rc == 0
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev["event"] == "rollback" and not ev["aborted"]
+    assert ev["to_snapshot"] == good
+
+    reopened = ParquetLake(spark, table, n_buckets=4, mode="mor",
+                          compact_every=None)
+    assert set(_final(reopened)) == good_state

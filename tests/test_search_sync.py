@@ -300,3 +300,33 @@ def test_per_tenant_sync(spark, tmp_path):
     idx = _sha_state(sync_a.state())
     lk = _sha_state(lake.read(route="ta"))
     assert idx == lk and set(idx) == {("r", "p1")}
+
+
+def test_sync_after_source_rollback_requires_and_survives_resync(
+    spark, tmp_path
+):
+    """A lake rollback across a consumer's checkpoint makes the
+    incremental range undefined (rolled-back row versions in the range's
+    delta files would classify as live changes), so the next sync raises
+    the loud rollback error and resync() reconverges the index on the
+    restored state."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), n_buckets=4,
+                       mode="mor", compact_every=100, snapshot_retention=50)
+    sync = SearchIndexSync(spark, str(tmp_path / "index"), lake)
+    _feed(spark, lake, 0, [_upsert(i, 1, i) for i in range(1, 4)])
+    good = lake.current_meta()["id"]
+    sync.sync_once()
+
+    # the bad batch lands, the consumer syncs it, THEN the lake rolls back
+    _feed(spark, lake, 1, [_upsert(1, 666, 10), _upsert(9, 666, 11)])
+    sync.sync_once()
+    assert ("r", "p9") in _sha_state(sync.state())
+    lake.rollback_to(good)
+    _feed(spark, lake, 2, [_upsert(2, 2, 12)])
+
+    with pytest.raises(ValueError, match="crosses a rollback"):
+        sync.sync_once()
+    s = sync.resync()
+    assert s["status"] == "bootstrapped"
+    _assert_index_matches_lake(sync, lake)
+    assert ("r", "p9") not in _sha_state(sync.state())
