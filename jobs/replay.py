@@ -213,13 +213,20 @@ def main(argv=None) -> int:
                 checkpoint_dir=args.checkpoint, metrics_dir=metrics,
                 max_files_per_trigger=args.max_files_per_trigger,
                 route_from_fields=args.route_from_fields,
+                available_now=not args.continuous,
             )
         q.awaitTermination()
         metrics.flush()  # drain background lineage before reading it
         stats = {"status": "stream_drained", "batches": lake.applied_batch_count()}
         wall = time.monotonic() - t0
         run_walls.append(round(wall, 3))
-        if args.metrics_dir:
+        # A drained stream that ran ZERO batches (restart with nothing
+        # new, or an empty log) never creates the lineage dir — reading
+        # it unconditionally would crash a successful run on
+        # PATH_NOT_FOUND.
+        if args.metrics_dir and os.path.isdir(
+            os.path.join(args.metrics_dir, "lineage")
+        ):
             # Sustained throughput from per-batch lineage: skip the first
             # SKIP batches (JVM class-load + JIT warm-up), then
             # events/sec = sum(records)/sum(batch wall) over the rest —
@@ -234,7 +241,12 @@ def main(argv=None) -> int:
                 .orderBy("batch_id")
                 .collect()
             )
-            tail = [r for r in per_batch if r["batch_id"] >= SKIP]
+            # warm-up skip must be RELATIVE to this run's first batch id:
+            # after a checkpoint resume batch ids continue from the prior
+            # run, and an absolute >= SKIP would skip nothing (counting
+            # the fresh JVM's warm-up batches into "sustained")
+            first = min((r["batch_id"] for r in per_batch), default=0)
+            tail = [r for r in per_batch if r["batch_id"] >= first + SKIP]
             if tail:
                 recs = sum(r["recs"] for r in tail)
                 secs = sum(r["wall_ms"] for r in tail) / 1000.0

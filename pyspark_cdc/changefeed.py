@@ -48,9 +48,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# ORD_COLS comes from order.py — ONE definition of the engine-wide
+# ordering contract, so the feed's LWW can never drift from the lake's
+from .order import ORD_COLS
 from .schemas import KEY_COLS, LSN_COL, OFFSET_COL, TS_COL, TX_COL
-
-ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
 
 FEED_SCHEMA = T.StructType(
     [

@@ -97,14 +97,19 @@ def export_changes_log(
         if meta is None:
             raise ValueError("empty lake: nothing to export")
         to_snapshot_id = meta["id"]
-    # departures=False: the export target is a KEY-based store (another
-    # lake resolving LWW per key), where a migrated key's arrival upsert
-    # alone moves it; a departure delete would ride the SAME ordering
-    # tokens as the arrival and tie at the replica's LWW (per-route
-    # consumers get departures from read_changes/SearchIndexSync instead)
+    # Global export (route=None) forces departures=False: the target is
+    # a KEY-based store (another lake resolving LWW per key) where a
+    # migrated key's arrival upsert alone moves it, and a departure
+    # delete would ride the SAME ordering tokens as the arrival and tie
+    # at the replica's LWW. A ROUTE-SCOPED export keeps the mode default
+    # (departures on migrating lakes): within one route's feed arrival
+    # and departure can never coexist for a key (they always carry
+    # different routes), so no tie is possible — and WITHOUT the
+    # departure a tenant replica would keep a key that migrated away
+    # forever, exactly the staleness the mechanism exists to prevent.
     changes = lake.read_changes(
         from_snapshot_id, to_snapshot_id, include_internal=True, route=route,
-        departures=False,
+        departures=False if route is None else None,
     )
     env = changes_to_envelopes(changes)
 

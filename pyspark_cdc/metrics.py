@@ -99,6 +99,7 @@ class MetricsWriter:
         self.async_lineage = async_lineage
         self._pool = None
         self._pending: list = []
+        self._first_error: BaseException | None = None
 
     def submit(self, fn) -> None:
         """Run fn now (sync default) or on the lineage thread."""
@@ -111,22 +112,33 @@ class MetricsWriter:
             self._pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="cdc-lineage"
             )
-        self._pending = [f for f in self._pending if not f.done()]
+        # Prune completed futures, but OBSERVE their outcome first: a
+        # completed-but-failed future dropped here would make the final
+        # flush() return cleanly while a batch's lineage rows were lost —
+        # the documented re-raise contract requires remembering the first
+        # background failure across prunes.
+        still_pending = []
+        for f in self._pending:
+            if not f.done():
+                still_pending.append(f)
+            elif self._first_error is None and f.exception() is not None:
+                self._first_error = f.exception()
+        self._pending = still_pending
         self._pending.append(self._pool.submit(fn))
 
     def flush(self) -> None:
-        """Drain pending lineage tasks; re-raises the first failure."""
+        """Drain pending lineage tasks; re-raises the first failure —
+        including one already pruned by a later submit()."""
         pending, self._pending = self._pending, []
         for f in pending:
-            f.result()
-
-    def write(self, parsed: DataFrame, batch_id, wall_ms: float | None = None) -> None:
-        if not self.metrics_dir:
-            return
-        lineage = batch_lineage(parsed, batch_id)
-        if wall_ms is not None:
-            lineage = lineage.withColumn("batch_wall_ms", F.lit(float(wall_ms)))
-        lineage.write.mode("append").parquet(os.path.join(self.metrics_dir, "lineage"))
+            try:
+                f.result()
+            except BaseException as e:
+                if self._first_error is None:
+                    self._first_error = e
+        err, self._first_error = self._first_error, None
+        if err is not None:
+            raise err
 
     def write_rows(self, rows, batch_id, wall_ms: float | None = None) -> None:
         """Driver-side append of pre-collected lineage rows (pyarrow, no

@@ -170,10 +170,14 @@ def replay_stream(
     max_files_per_trigger: int | None = None,
     lww_method: str = "fused",
     route_from_fields: bool = False,
+    available_now: bool = True,
 ):
-    """Checkpointed streaming replay of a file log; trigger(availableNow)
-    drains the log and stops — restart with the same checkpoint_dir to
-    resume."""
+    """Checkpointed streaming replay of a file log; the default
+    trigger(availableNow) drains the log and stops — restart with the
+    same checkpoint_dir to resume. available_now=False keeps tailing:
+    file streams discover newly landed log files, the continuous
+    deployment shape (jobs/replay.py --continuous)."""
     raw = file_stream(spark, log_dir, max_files_per_trigger)
     return run_stream(raw, lake, checkpoint_dir, metrics_dir, lww_method,
-                      route_from_fields=route_from_fields)
+                      route_from_fields=route_from_fields,
+                      available_now=available_now)

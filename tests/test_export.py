@@ -221,3 +221,34 @@ def test_replication_of_a_migrating_lake(spark, tmp_path):
         want = sorted((r["repo"], r["path"]) for r in
                       rep.read().filter(F.col("route") == rt).collect())
         assert got == want, rt
+
+
+def test_route_scoped_export_carries_departures(spark, tmp_path):
+    """A per-tenant export of a migrating lake must ship the departure
+    delete (within one route's feed arrival and departure can never tie
+    — they always carry different routes), or the tenant replica serves
+    the migrated-away document forever."""
+    src = ParquetLake(spark, str(tmp_path / "src"), n_buckets=4,
+                      mode="mor", compact_every=None, snapshot_retention=50,
+                      route_stable_keys=False)
+    rep = ParquetLake(spark, str(tmp_path / "rep"), n_buckets=4, mode="mor",
+                      compact_every=100, route_stable_keys=False)
+
+    _feed(spark, src, 0, [_upsert(1, 1, 1, topic="X"),
+                          _upsert(2, 1, 2, topic="X")])
+    a = src.current_meta()["id"]
+    export_changes_log(src, 0, str(tmp_path / "x1"), to_snapshot_id=a,
+                       route="X")
+    replay_batch(spark, str(tmp_path / "x1"), rep, batch_id=0)
+    assert rep.read().count() == 2
+
+    # k1 migrates X -> Y
+    _feed(spark, src, 1, [_upsert(1, 2, 10, topic="Y")])
+    b = src.current_meta()["id"]
+    out = export_changes_log(src, a, str(tmp_path / "x2"), to_snapshot_id=b,
+                             route="X")
+    assert out["n_records"] == 1  # the departure delete
+    replay_batch(spark, str(tmp_path / "x2"), rep, batch_id=1)
+
+    rows = sorted((r["repo"], r["path"]) for r in rep.read().collect())
+    assert rows == [("r", "p2")], "migrated-away key must leave the replica"

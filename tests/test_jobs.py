@@ -154,3 +154,38 @@ def test_maintain_rollback_flag(spark, tmp_path, capsys):
     reopened = ParquetLake(spark, table, n_buckets=4, mode="mor",
                           compact_every=None)
     assert set(_final(reopened)) == good_state
+
+
+def test_stream_resume_zero_batches_with_fresh_metrics_dir(
+    spark, tmp_path, capsys
+):
+    """A drained stream restarted with a metrics dir that has no lineage
+    yet (zero batches run this time) must exit cleanly and print its
+    summary — the summary read previously crashed on PATH_NOT_FOUND
+    because the lineage dir is only created when a batch writes rows."""
+    replay = _load_job("replay.py", "replay_job_zero_batch")
+
+    log_dir = str(tmp_path / "log")
+    generate.write_log(spark, log_dir, n_events=400, n_files=2,
+                      n_keys=80, seed=21)
+    table = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    rc = replay.main([
+        "--log-dir", log_dir, "--table-dir", table, "--mode", "stream",
+        "--checkpoint", ckpt, "--n-buckets", "8",
+    ])
+    assert rc in (0, None)
+    capsys.readouterr()
+
+    # resume: nothing new to ingest, metrics dir FRESH => lineage dir
+    # never created this run
+    rc = replay.main([
+        "--log-dir", log_dir, "--table-dir", table, "--mode", "stream",
+        "--checkpoint", ckpt, "--n-buckets", "8",
+        "--metrics-dir", str(tmp_path / "fresh_metrics"),
+    ])
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["merge"]["status"] == "stream_drained"
+    assert out["merge"]["batches"] >= 1  # table-level count, prior run's

@@ -129,6 +129,23 @@ def test_async_lineage_matches_sync(spark, tmp_path):
         boom.flush()
     boom.flush()  # drained: second flush is a no-op
 
+    # the pruned-failure case: a failed background task followed by MORE
+    # submits must still surface at flush — submit()'s done-future prune
+    # previously discarded the failed future without observing it, so
+    # the job reported success while a batch's lineage rows were lost
+    boom2 = MetricsWriter(str(tmp_path / "m_boom2"), async_lineage=True)
+    boom2.submit(_fail)
+    import time as _time
+
+    for _ in range(100):  # let the background task complete (fail)
+        if all(f.done() for f in boom2._pending):
+            break
+        _time.sleep(0.05)
+    boom2.submit(lambda: None)  # prunes the failed future
+    with pytest.raises(RuntimeError, match="lineage boom"):
+        boom2.flush()
+    boom2.flush()  # error cleared after being raised once
+
 
 def test_replay_job_kafka_arg_validation(spark, tmp_path):
     """jobs/replay.py --source kafka demands --brokers/--topics before
@@ -242,3 +259,48 @@ def test_replay_job_probe_stamps(spark, tmp_path, capsys):
     mod.main(base + ["--table-dir", str(tmp_path / "t2")])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "jvm_probe_pre_mrows" not in out and "jvm_probe_post_mrows" not in out
+
+
+def test_continuous_file_tail_picks_up_new_files(spark, tmp_path):
+    """replay_stream(available_now=False) — the jobs/replay.py
+    --continuous deployment — keeps the query ALIVE and ingests log
+    files that land after start. The flag was previously ignored for the
+    file source (replay_stream hardcoded availableNow), so a production
+    tail silently drained-and-exited instead of tailing."""
+    import time as _time
+
+    log_dir = _write_log(spark, tmp_path)
+    lake = ParquetLake(spark, str(tmp_path / "lake_cont"), n_buckets=8,
+                       mode="mor", compact_every=None)
+    q = replay_stream(
+        spark, log_dir, lake, checkpoint_dir=str(tmp_path / "ckpt_cont"),
+        max_files_per_trigger=4, available_now=False,
+    )
+    try:
+        deadline = _time.monotonic() + 90
+        n1 = 0
+        while _time.monotonic() < deadline:
+            meta = lake.current_meta()
+            if meta is not None and lake.read().count() > 0:
+                n1 = lake.read().count()
+                break
+            _time.sleep(0.5)
+        assert n1 > 0, "initial log never drained"
+        assert q.isActive, "continuous tail stopped after draining"
+
+        # a NEW log file lands after start: the tail must ingest it
+        # hot_pct=100 + a fresh hot repo => every late event targets keys
+        # that cannot exist yet, so the live-row count must strictly grow
+        extra = generate.bulk_events_df(
+            spark, 300, n_keys=50, seed=99, hot_pct=100,
+            hot_repo="late/only-repo",
+        )
+        extra.coalesce(1).write.mode("append").parquet(log_dir)
+        while _time.monotonic() < deadline:
+            if lake.read().count() > n1:
+                break
+            _time.sleep(0.5)
+        assert lake.read().count() > n1, "late file never ingested"
+        assert q.isActive
+    finally:
+        q.stop()
