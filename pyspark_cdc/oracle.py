@@ -34,17 +34,21 @@ KNOWN_NON_DOMAIN = {"is_delete", "payload", "route"}
 
 def _coerce_str(v: Any) -> str | None:
     """fmt.Sprint analog for key fields, matching Spark's JSON string
-    coercion of scalar tokens (number 123 -> "123", bool true -> "true")."""
+    coercion of scalar tokens (number 123 -> "123", bool true -> "true",
+    float 1.0 -> "1.0" — Spark keeps the decimal point on float tokens,
+    so an integral float must NOT collapse to its int text; verified on
+    PySpark 4.1). Exotic exponent forms (1e22) may still render
+    differently (Python '1e+22' vs Java '1.0E22') — no generator or
+    corpus shape produces them."""
     if v is None:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
     if isinstance(v, (dict, list)):
         # matches Spark's compact JSON rendering of nested tokens in a
-        # map<string,string> read
-        return json.dumps(v, separators=(",", ":"))
+        # map<string,string> read — which emits raw UTF-8, so non-ASCII
+        # must not be \\u-escaped here
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     return str(v)
 
 
@@ -85,9 +89,12 @@ def _ord_int(v: Any, from_string: bool = False) -> int | None:
 
 
 def _truthy_delete(v: Any) -> bool:
-    if v is True:
-        return True
-    return isinstance(v, str) and v.lower() in ("true", "1")
+    """Truthiness through the engine's map<string,string> lens: the
+    engine reads is_delete as the RENDERED text, so numeric 1 (tinyint
+    soft-delete flag, realistic Debezium output) renders "1" and deletes,
+    while 1.0 renders "1.0" and does not."""
+    s = _coerce_str(v)
+    return s is not None and s.lower() in ("true", "1")
 
 
 def extract_doc(after: dict, engine_exact: bool = True) -> dict | None:
@@ -129,6 +136,17 @@ def extract_doc(after: dict, engine_exact: bool = True) -> dict | None:
             return None
     elif isinstance(after.get("doc"), dict):
         doc = dict(after["doc"])
+    elif isinstance(after.get("doc"), str):
+        # The engine sees the map-RENDERED text of `doc` and re-parses it
+        # with from_json (parse.py), so a STRING value holding a JSON
+        # object unwraps exactly like an object value; any other text
+        # falls back to the flat image with `doc` kept as an opaque
+        # extra (from_json yields null).
+        try:
+            parsed = json.loads(after["doc"])
+        except (ValueError, TypeError):
+            parsed = None
+        doc = dict(parsed) if isinstance(parsed, dict) else dict(after)
     else:
         doc = dict(after)
 
@@ -169,9 +187,16 @@ def replay(events: list[dict]) -> dict:
             counts["malformed"] += 1
             continue
         payload = env.get("payload") if isinstance(env, dict) else None
-        if not isinstance(payload, dict) or not isinstance(payload.get("op"), str):
+        # the engine reads op through the map<string,string> rendering,
+        # so a NON-STRING scalar token (op: 5) becomes the text "5" and
+        # classifies unknown_op, not malformed; only a missing/null op
+        # is malformed
+        op_tok = _coerce_str(payload.get("op")) if isinstance(payload, dict) else None
+        if not isinstance(payload, dict) or op_tok is None:
             counts["malformed"] += 1
             continue
+        payload = dict(payload)
+        payload["op"] = op_tok
         src = payload.get("source") or {}
         tx = payload.get("transaction") or {}
         lsn = _ord_int(src.get("lsn")) or 0

@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from .schemas import KEY_COLS, LSN_COL, OFFSET_COL, TS_COL, TX_COL
 
 ORD_COLS = [LSN_COL, TX_COL, TS_COL, OFFSET_COL]
+# Uniqueness caveat, stated rather than papered over: the tuple is
+# unique per (key, kafka partition) — offset is the per-partition final
+# tie-break — but an EXACT 4-way tie across partitions (possible only
+# when source metadata is entirely absent, coalescing lsn/tx/ts to 0,
+# AND two partitions hold the same offset for the same key) leaves the
+# winner to max_by's first-encountered row: deterministic for a given
+# plan, not across partition orders. Kafka itself defines no
+# cross-partition order, and the reference's per-partition concurrent
+# consumers (main.go) have the same race — a CDC source that shards one
+# PRIMARY KEY across partitions without LSNs is operating outside any
+# ordering contract this engine could honor.
 
 # Columns carried through LWW into the MERGE.
 CARRY_COLS = ["effective_op", "commit", "lang", "content", "extras", "route", *ORD_COLS]

@@ -56,5 +56,20 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate silently returns an EXISTING session with its original
+    # configs — under spark-submit the driver JVM (and spark.driver.memory)
+    # is fixed before Python runs, and a second in-process get_spark with
+    # different knobs changes nothing. Make the silent part loud: warn on
+    # the mismatches that alter semantics or sizing. (Session-level SQL
+    # confs like mapKeyDedupPolicy ARE applied by getOrCreate; static/JVM
+    # ones are not.)
+    got_parallelism = spark.sparkContext.defaultParallelism
+    if got_parallelism != cores:
+        print(
+            f"[pyspark_cdc.session] note: reusing existing SparkSession "
+            f"(defaultParallelism={got_parallelism}, requested local[{cores}]);"
+            " JVM-level configs from this call were not applied",
+            flush=True,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -29,9 +29,19 @@ def change_rate_stream(
     Watermark semantics: state for a window is dropped once event time
     passes window_end + watermark; events later than that are discarded
     rather than growing state without bound — the 10^10-event stream
-    cannot keep every window open forever."""
+    cannot keep every window open forever.
+
+    Events WITHOUT source.ts_ms (parse coalesces the missing field to 0)
+    are excluded EXPLICITLY here rather than implicitly: their epoch
+    event-time would silently classify as decades-late data the moment
+    the first real timestamp advances the watermark, so the monitor
+    would undercount with no signal. The exclusion is visible instead:
+    per-batch lineage counts every record, so n_records minus the
+    windowed totals exposes the unmonitorable share. The LWW/merge path
+    applies such events normally either way — this affects only the
+    rate monitor."""
     ev = (
-        parsed.filter(F.col("status") == "ok")
+        parsed.filter((F.col("status") == "ok") & (F.col(TS_COL) > 0))
         .withColumn("event_time", F.timestamp_millis(F.col(TS_COL)))
     )
     return (
