@@ -48,7 +48,14 @@ def _docs_spread(spark, sf_dir):
 
 
 # 3-word shingles from a PRE-SPLIT token array column `w` (1-based
-# element_at == DuckDB list[i]).
+# element_at == DuckDB list[i]). HASH-SPEC CONTRACT: the shingle text and
+# the md5-prefix minhash below must stay bit-identical to
+# signatures.py's array-column construction (the at-ingest lake
+# signatures) — the dedup_lake_signatures oracle row and
+# tests/test_incdedup.py pin incremental == from-scratch, so a drift in
+# either copy fails those gates. The two shapes differ only in plumbing
+# (explode pipeline here for the documents-table operators vs pure
+# column expressions there for the row-level fill).
 _SHINGLES_FROM_W = (
     "transform(sequence(1, greatest(size(w) - 2, 1)),"
     " i -> concat_ws(' ', element_at(w, i),"
@@ -73,7 +80,6 @@ def dedup_exact(spark, sf_dir):
         _docs(spark, sf_dir)
         .groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
-        .filter(F.col("n_copies") >= 1)
     )
 
 
@@ -183,21 +189,10 @@ def dedup_simhash(spark, sf_dir):
     a token votes +1 iff hex digit b of md5(token) has its top bit set
     (digit >= '8'); frequency-weighted (tokens not deduped), standard
     SimHash. Output: fingerprint per doc + collision-cluster stats."""
-    docs = _docs_spread(spark, sf_dir)
-    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
-    h = F.md5(F.col("t"))
-    bits = [
-        F.sum(
-            F.when(F.substring(h, b + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
-        )
-        for b in range(16)
-    ]
-    per_doc = tok.groupBy("doc_id").agg(
-        F.concat(
-            *[F.when(bit > 0, F.lit("1")).otherwise(F.lit("0")) for bit in bits]
-        ).alias("simhash")
-    )
-    return per_doc.groupBy("simhash").agg(
+    # one fingerprint implementation (_simhash_per_doc) for BOTH the
+    # exact-collision operator and the Hamming neighbor search — two
+    # hand-synced copies of the bit rule could silently drift
+    return _simhash_per_doc(spark, sf_dir).groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id")
     )
 
@@ -352,11 +347,16 @@ FROM cand WHERE ({hamming}) <= {HAMMING_K}
 def dedup_ngram_jaccard(spark, sf_dir):
     """Distinct-shingle Jaccard over candidate pairs that share a
     non-stop shingle; stop-shingles (df > DF_CAP) are dropped before the
-    pair join to bound fan-out."""
+    pair join to bound fan-out. Intersection AND union are computed over
+    the SAME filtered universe — sizing the union from unfiltered sets
+    while intersecting filtered ones (the previous shape) double-counts
+    shared stop-shingles in the denominator, deflating the score until
+    even IDENTICAL documents can fall below the threshold once common
+    phrases dominate them."""
     sh = _shingles(spark, sf_dir).distinct()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= DF_CAP), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sh_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh_f.alias("a")
     b = sh_f.alias("b")
@@ -400,7 +400,9 @@ WITH sh AS (
 ), sh_f AS (
   SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= {DF_CAP}
 ), sizes AS (
-  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+  -- sized over the SAME filtered universe as the intersection (see the
+  -- Spark docstring: an unfiltered union deflates the score)
+  SELECT doc_id, count(*) AS sz FROM sh_f GROUP BY 1
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh_f a JOIN sh_f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

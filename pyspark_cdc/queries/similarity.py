@@ -499,7 +499,11 @@ def emb_neardup_pairs(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
-def _sql_band(col: str, b: int) -> str:
+def _sql_sign_band(col: str, b: int) -> str:
+    # named distinctly from the quantile-band _sql_band(col, start, k)
+    # above: an identical name silently shadowed it after module
+    # evaluation (flake8 F811), making _sql_lsh() a latent TypeError
+    # for any post-import caller
     bits = " || ".join(
         f"CASE WHEN {col}[{b * NEARDUP_BAND_BITS + i + 1}]::DOUBLE >= 0 THEN '1' ELSE '0' END"
         for i in range(NEARDUP_BAND_BITS)
@@ -510,7 +514,7 @@ def _sql_band(col: str, b: int) -> str:
 SQL_NEARDUP = f"""
 WITH stacked AS (
   {" UNION ALL ".join(
-      f"SELECT vec_id, {b} AS band_idx, {_sql_band('embedding', b)} AS band, embedding FROM embeddings"
+      f"SELECT vec_id, {b} AS band_idx, {_sql_sign_band('embedding', b)} AS band, embedding FROM embeddings"
       for b in range(NEARDUP_BANDS)
   )}
 ), cand AS (

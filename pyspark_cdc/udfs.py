@@ -27,8 +27,16 @@ from pyspark.sql import types as T
 
 @F.pandas_udf(T.StringType())
 def extract_doc_json(after_json: pd.Series) -> pd.Series:
-    """after-image JSON text -> canonical flat document JSON (string values),
-    mirroring oracle.extract_doc / sync.go:198-224."""
+    """after-image JSON text -> canonical flat document JSON (string
+    values), DELEGATING to oracle.extract_doc / oracle._coerce_str — the
+    one implementation of the sync.go:198-245 extraction semantics,
+    verified against the engine's map<string,string> rendering. A review
+    pass found the previous inline re-implementation had drifted from
+    the oracle in four ways (integral-float collapse, no string-`doc`
+    unwrap, empty doc instead of a skip for scalar payloads, and
+    non-compact ASCII-escaped nested rendering); one source of truth
+    makes that class of drift impossible."""
+    from .oracle import _coerce_str, extract_doc
 
     def one(s):
         if s is None:
@@ -39,46 +47,13 @@ def extract_doc_json(after_json: pd.Series) -> pd.Series:
             return None
         if not isinstance(after, dict):
             return None
-        # sync.go:198-245: a present payload REPLACES the flat image
-        # (string must parse to an object, else the record is skipped =>
-        # None); else a doc sub-map unwraps; else doc = after. Key fields
-        # fall back to the flat image; flat is_delete overrides inner.
-        if "payload" in after:
-            p = after["payload"]
-            if isinstance(p, str):
-                try:
-                    q = json.loads(p)
-                except (ValueError, TypeError):
-                    return None
-                if not isinstance(q, dict):
-                    return None
-                doc = dict(q)
-            elif isinstance(p, dict):
-                doc = dict(p)
-            else:
-                doc = {}
-        elif isinstance(after.get("doc"), dict):
-            doc = dict(after["doc"])
-        else:
-            doc = dict(after)
-        for kf in ("repo", "path"):
-            if doc.get(kf) is None and after.get(kf) is not None:
-                doc[kf] = after[kf]
-        if "is_delete" in after:
-            doc["is_delete"] = after["is_delete"]
-
-        def coerce(v):
-            if v is None:
-                return None
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            if isinstance(v, float) and v.is_integer():
-                return str(int(v))
-            if isinstance(v, (dict, list)):
-                return json.dumps(v)
-            return str(v)
-
-        return json.dumps({k: coerce(v) for k, v in doc.items()}, sort_keys=True)
+        doc = extract_doc(after)
+        if doc is None:
+            return None
+        return json.dumps(
+            {k: _coerce_str(v) for k, v in doc.items()},
+            sort_keys=True, ensure_ascii=False,
+        )
 
     return after_json.map(one)
 

@@ -137,18 +137,32 @@ def test_pandas_udf_parity_with_native_path(spark):
     log = generate.edge_case_df(spark)
     via_udf = (
         log.select(
-            extract_doc_json(F.get_json_object(F.col("value"), "$.payload.after")).alias("doc")
+            F.get_json_object(F.col("value"), "$.payload.after").alias("after"),
+            extract_doc_json(F.get_json_object(F.col("value"), "$.payload.after")).alias("doc"),
         )
-        .filter(F.col("doc").isNotNull())
+        .filter(F.col("after").isNotNull())
         .collect()
     )
-    assert len(via_udf) > 10
+    assert sum(1 for r in via_udf if r["doc"] is not None) > 10
     import json
 
+    from pyspark_cdc import oracle
+
+    # REAL parity, row by row: the UDF's output must equal the oracle's
+    # extract_doc + _coerce_str on the same after-image (a review pass
+    # found the previous shape-only assertions let four divergences ride)
     for r in via_udf:
-        doc = json.loads(r["doc"])
-        assert isinstance(doc, dict)
-        assert "payload" not in doc
+        after = json.loads(r["after"])
+        if not isinstance(after, dict):
+            assert r["doc"] is None
+            continue
+        want = oracle.extract_doc(after)
+        if want is None:
+            assert r["doc"] is None, after
+            continue
+        got = json.loads(r["doc"])
+        assert got == {k: oracle._coerce_str(v) for k, v in want.items()}, after
+        assert "payload" not in got
 
     hashed = (
         log.filter(F.col("value").isNotNull())
