@@ -1687,6 +1687,49 @@ class ParquetLake:
         self.expire_snapshots(keep_last=self.snapshot_retention)
         return new_meta
 
+    def read_dead_letters(self, status: str | None = None) -> DataFrame:
+        """The OUTSTANDING dead-letter queue: every poison record
+        (tombstone / malformed / unknown_op / bad_payload / missing_key /
+        missing_route) still held by the raw delta backlog, with its
+        topic/partition/offset lineage — the operator's "what failed and
+        why" read the persisted status partitions exist for (the
+        reference logs-and-drops, sync.go:54-67; here the records
+        themselves are queryable). status='malformed' narrows to one
+        taxonomy value.
+
+        Cost at scale: the status partition dirs put the filter in
+        PartitionFilters, so the big status=ok partitions are never
+        listed or opened; cost is O(dead-letter bytes in the backlog).
+
+        Retention contract (same as a DLQ topic's): compaction CONSUMES
+        the deltas that hold these rows — the merged/folded outputs carry
+        only ok rows — so the queue covers the current backlog window
+        (bounded by compact_every). Archive before folding if longer
+        retention is needed."""
+        meta = self.current_meta() or {}
+        parts = []
+        for d in meta.get("deltas", []):
+            entry = d if isinstance(d, dict) else {"path": d, "format": "flat"}
+            if entry.get("format") != "parsed":
+                continue  # folded deltas hold only ok rows
+            dp = os.path.join(self.table_dir, entry["path"])
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", dp).parquet(dp)
+                .filter(F.col("status") != "ok")
+            )
+            parts.append(df)
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "status string, topic string, partition int, offset long"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if status is not None:
+            out = out.filter(F.col("status") == status)
+        return out
+
     def rollback_to(self, snapshot_id: int) -> dict | None:
         """Roll the table back to a retained snapshot (the Iceberg
         rollback_to_snapshot analog — bad-batch recovery): commits a NEW
