@@ -33,6 +33,33 @@ import tempfile
 import time
 
 
+def _cpu_rate(secs: float) -> float:
+    import hashlib
+
+    buf = b"x" * 8192
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < secs:
+        buf = hashlib.sha256(buf).digest() * 256
+        n += 1
+    return n / (time.monotonic() - t0)
+
+
+def _membw_rate(secs: float) -> float:
+    src = bytearray(8 << 20)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < secs:
+        bytes(src)
+        src[0] = (src[0] + 1) & 0xFF
+        n += 1
+    return n / (time.monotonic() - t0)
+
+
+def _probe_worker(q, fn, secs):
+    q.put(fn(secs))
+
+
 def host_probe(secs: float = 1.0) -> dict:
     """~5s pure-Python host-health stamp, run BEFORE the JVM starts and
     excluded from every reported wall.
@@ -47,50 +74,62 @@ def host_probe(secs: float = 1.0) -> dict:
     Absolute single rates and the par-8/par-24 aggregate speedups are
     directly comparable across rounds and across builder/driver runs.
     """
-    import hashlib
     import multiprocessing as mp
 
     def cpu_rate() -> float:
-        buf = b"x" * 8192
-        t0 = time.monotonic()
-        n = 0
-        while time.monotonic() - t0 < secs:
-            buf = hashlib.sha256(buf).digest() * 256
-            n += 1
-        return n / (time.monotonic() - t0)
+        return _cpu_rate(secs)
 
     def membw_rate() -> float:
-        src = bytearray(8 << 20)
-        t0 = time.monotonic()
-        n = 0
-        while time.monotonic() - t0 < secs:
-            bytes(src)
-            src[0] = (src[0] + 1) & 0xFF
-            n += 1
-        return n / (time.monotonic() - t0)
+        return _membw_rate(secs)
 
     def parallel(fn, workers: int) -> float:
+        # module-safe worker (no lambda target: spawn/forkserver start
+        # methods can't pickle one) + bounded q.get so a killed worker
+        # degrades the probe instead of hanging the whole bench
         q = mp.Queue()
         procs = [
-            mp.Process(target=lambda q=q: q.put(fn())) for _ in range(workers)
+            mp.Process(target=_probe_worker, args=(q, fn, secs))
+            for _ in range(workers)
         ]
         for p in procs:
             p.start()
-        agg = sum(q.get() for _ in procs)
+        agg = 0.0
+        for _ in procs:
+            try:
+                agg += q.get(timeout=max(30.0, secs * 20))
+            except Exception:
+                pass  # a worker died: count what arrived
         for p in procs:
-            p.join()
+            p.join(timeout=10)
         return agg
 
     cpu1 = cpu_rate()
-    cpu8 = parallel(cpu_rate, 8)
+    cpu8 = parallel(_cpu_rate, 8)
     bw1 = membw_rate()
-    bw24 = parallel(membw_rate, 24)
+    bw24 = parallel(_membw_rate, 24)
     return {
         "host_cpu_single_rate": round(cpu1, 1),
         "host_cpu_par8_speedup": round(cpu8 / cpu1, 2) if cpu1 else None,
         "host_membw_single_rate": round(bw1, 1),
         "host_membw_par24_speedup": round(bw24 / bw1, 2) if bw1 else None,
     }
+
+
+def _consume(df) -> int:
+    """Force FULL evaluation of every output column and return the row
+    count. df.count() alone lets Catalyst column-prune a pure-select
+    query down to a row count — q_text_quality (a narrow projection with
+    no agg/filter) was timing a pruned scan, not the tokenize/score
+    work. Hashing every column in the same job keeps the upstream
+    expressions in the plan; the hash itself runs over the query's small
+    OUTPUT, so agg/join-ended queries are timed exactly as before."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash(*[F.col(c) for c in df.columns])).alias("_sig"),
+    ).collect()[0]
+    return int(row["n"])
 
 
 def _jvm_rate(spark, n: int) -> float:
@@ -303,7 +342,7 @@ def main() -> int:
             for _run in range(3):
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
-                n = df.count()
+                n = _consume(df)
                 walls.append(round(time.monotonic() - t0, 3))
             queries[bench_key] = sorted(walls)[1]  # median of 3
             extras[f"{bench_key}_rows"] = n

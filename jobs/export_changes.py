@@ -58,7 +58,15 @@ def main(argv=None) -> int:
         return 2
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ckpt = os.path.join(args.out_dir, "_checkpoint")
+    # Route-scoped exports get their OWN checkpoint and chunk namespace:
+    # with a shared one, `--route A` advancing the checkpoint would make
+    # a later `--route B` run silently skip all of B's history before
+    # that snapshot (and same-range chunks of different routes would
+    # overwrite each other). One out-dir can therefore safely host a
+    # global outbox and several per-tenant ones side by side.
+    scope = f"route-{args.route}-" if args.route else ""
+    ckpt = os.path.join(args.out_dir, f"_{scope}checkpoint"
+                        if scope else "_checkpoint")
 
     explicit = args.from_snapshot is not None or args.to_snapshot is not None
     if explicit:
@@ -82,7 +90,7 @@ def main(argv=None) -> int:
         print(json.dumps({"event": "up_to_date", "snapshot": to}))
         return 0
 
-    chunk = os.path.join(args.out_dir, f"chunk-{frm:012d}-{to:012d}")
+    chunk = os.path.join(args.out_dir, f"{scope}chunk-{frm:012d}-{to:012d}")
     t0 = time.monotonic()
     try:
         stats = export_changes_log(
@@ -101,7 +109,8 @@ def main(argv=None) -> int:
         os.replace(tmp, ckpt)
         if args.pin:
             lake.pin_snapshot(
-                f"outbox:{os.path.basename(os.path.abspath(args.out_dir))}",
+                f"outbox:{scope}"
+                f"{os.path.basename(os.path.abspath(args.out_dir))}",
                 to,
             )
     print(json.dumps({

@@ -48,6 +48,9 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchutil import with_key_bucket
+
     from pyspark_cdc import generate
     from pyspark_cdc.schemas import KEY_COLS
     from pyspark_cdc.session import get_spark
@@ -81,16 +84,14 @@ def main() -> int:
             spark, n_events + 3 * wave_n, n_keys=n_keys,
             content_words=content_words,
         )
-        key_t = F.from_json(F.col("key"), "repo string, path string")
-        bucket = F.pmod(
-            F.xxhash64(key_t["repo"], key_t["path"]), F.lit(n_buckets))
+        stream_b = with_key_bucket(stream, n_buckets)
         lo = n_events + generate.BULK_LSN_BASE
         for i in range(3):
-            wave = stream.where(
+            wave = stream_b.where(
                 (F.col("offset") >= lo + i * wave_n)
                 & (F.col("offset") < lo + (i + 1) * wave_n)
-                & (bucket < subset_max_bucket)
-            )
+                & (F.col("__bench_bucket") < subset_max_bucket)
+            ).drop("__bench_bucket")
             process_batch(wave, i + 1, lake)
         b_id = lake.current_meta()["id"]
         meta = lake.current_meta()

@@ -44,6 +44,9 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchutil import with_key_bucket
+
     from pyspark_cdc import generate
     from pyspark_cdc.session import get_spark
     from pyspark_cdc.sink import ParquetLake
@@ -73,10 +76,11 @@ def main() -> int:
         delta_raw = generate.bulk_events_df(
             spark, max(100_000, n_events // 40), n_keys=n_keys, seed=7,
         )
-        key_t = F.from_json(F.col("key"), "repo string, path string")
-        bucket = F.pmod(
-            F.xxhash64(key_t["repo"], key_t["path"]), F.lit(n_buckets))
-        delta_raw = delta_raw.where(bucket < subset_max_bucket)
+        delta_raw = (
+            with_key_bucket(delta_raw, n_buckets)
+            .where(F.col("__bench_bucket") < subset_max_bucket)
+            .drop("__bench_bucket")
+        )
         process_batch(delta_raw, 1, lake)
 
         meta = lake.current_meta()

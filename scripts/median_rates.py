@@ -49,18 +49,30 @@ def main() -> None:
     )
     for f in files:
         rows = legs(f)
-        for i in range(0, len(rows) - 2, 3):
+        # SLIDING scan for consecutive (1,2,4) triples, not a fixed
+        # stride-3 walk: a builder-session restart can leave a partial
+        # [1,2] prefix in a file before a complete appended rerun, and a
+        # stride walk starting at 0 would misalign past the complete run
+        # and silently DROP it — the opposite of "uniformly over ALL run
+        # sets". Overlap is impossible (a matched triple consumes its
+        # three legs).
+        i = 0
+        run_idx = 0
+        while i <= len(rows) - 3:
             s = rows[i : i + 3]
             if [x[0] for x in s] != [1, 2, 4]:
-                continue  # partial sweep (builder-session restart)
+                i += 1
+                continue  # partial sweep fragment: slide one leg forward
             r1, r2, r4 = (x[1] for x in s)
             eff2, eff4 = r2 / (2 * r1), r4 / (4 * r1)
             eff4s.append(eff4)
             print(
-                f"{os.path.basename(f):20s} run{i // 3} "
+                f"{os.path.basename(f):20s} run{run_idx} "
                 f"1N={r1 / 1e3:6.1f}k 2N={r2 / 1e3:6.1f}k 4N={r4 / 1e3:6.1f}k "
                 f"eff2={eff2:.3f} eff4={eff4:.3f}"
             )
+            run_idx += 1
+            i += 3
     print(f"median eff 1->4 (median-batch-rate) over {len(eff4s)} sets: "
           f"{statistics.median(eff4s):.3f}")
 

@@ -52,6 +52,9 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchutil import with_key_bucket
+
     from pyspark_cdc import generate
     from pyspark_cdc.session import get_spark
     from pyspark_cdc.sink import ParquetLake
@@ -81,10 +84,11 @@ def main() -> int:
             spark, max(100_000, n_events // 40), n_keys=n_keys, seed=7,
             content_words=content_words,
         )
-        key_t = F.from_json(F.col("key"), "repo string, path string")
-        bucket = F.pmod(
-            F.xxhash64(key_t["repo"], key_t["path"]), F.lit(n_buckets))
-        delta_raw = delta_raw.where(bucket < subset_max_bucket)
+        delta_raw = (
+            with_key_bucket(delta_raw, n_buckets)
+            .where(F.col("__bench_bucket") < subset_max_bucket)
+            .drop("__bench_bucket")
+        )
         process_batch(delta_raw, 1, lake)
 
         meta = lake.current_meta()
@@ -148,7 +152,14 @@ def main() -> int:
             f"{n_whole}/{h_whole[:12]}")
 
         walls = {"subset": [], "whole": []}
+        # warm up BOTH arms: with only the (default) subset arm warmed,
+        # the whole-base arm's first timed rep absorbs its one-time
+        # plan/broadcast build cost and the reported speedup inflates —
+        # noticeable at low rep counts where the median can't hide it
+        force_whole(False)
         timed_scan(lake.read())  # warm-up (file listing, JIT)
+        force_whole(True)
+        timed_scan(lake.read())
         for _ in range(reps):
             force_whole(False)
             walls["subset"].append(timed_scan(lake.read()))

@@ -27,12 +27,17 @@ def _tp(r):
 
 
 def _execs(r):
-    # local-cluster[n,c,m] -> n
+    # local-cluster[n,c,m] -> n. REFUSE anything else: a plain local[N]
+    # result silently coerced to "1 executor" would become the baseline
+    # and corrupt every efficiency number with no warning.
     m = r.get("master", "")
     try:
         return int(m.split("[", 1)[1].split(",")[0])
     except (IndexError, ValueError):
-        return 1
+        raise SystemExit(
+            f"scale_report: master {m!r} is not local-cluster[n,c,m]; "
+            "refusing to guess its executor count"
+        )
 
 
 def main() -> int:
