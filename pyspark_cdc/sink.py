@@ -177,8 +177,6 @@ def resolve_lww(df: DataFrame) -> DataFrame:
     exact-tie pair. Used by the COW merge aggregation and by the MoR read
     path — max is associative, so resolving at write time, at compaction,
     or at read time yields the identical winner."""
-    from .order import packed_ord
-
     non_key = [c for c in df.columns if c not in KEY_COLS]
     row = F.struct(*[F.col(c) for c in non_key])
     return (
@@ -207,8 +205,6 @@ def resolve_lww_clustered(df: DataFrame, n_buckets: int) -> DataFrame:
     BUCKET_COL. Measured (10x4M-event delta backlog, 6.6M keys): fold wall
     58.8s -> 39.4s at 4 executors, 119.5s -> 94.4s at 1 (bit-identical
     output), and fold 1->4 scaling 2.03x -> 2.40x."""
-    from .order import packed_ord
-
     non_key = [c for c in df.columns if c not in KEY_COLS and c != BUCKET_COL]
     row = F.struct(*[F.col(c) for c in non_key])
     return (
@@ -894,9 +890,7 @@ class ParquetLake:
     def _merge_impl(
         self, src: DataFrame, batch_id, meta: dict, side_summary: DataFrame | None = None
     ) -> dict:
-        import time as _time
-
-        t0 = _time.monotonic()
+        t0 = time.monotonic()
         # One scalable pass: touched buckets + observed open-world keys
         # (explode multiplies by ~#extras per row; hash-agg partial-combines
         # down to <= n_buckets * n_keys rows before the collect). An optional
@@ -918,7 +912,7 @@ class ParquetLake:
         rows = summary_df.collect()
         summary = [r for r in rows if r["_side"] == "merge"]
         side_rows = [r for r in rows if r["_side"] == "side"]
-        t_summary = _time.monotonic() - t0
+        t_summary = time.monotonic() - t0
         touched = sorted({r[BUCKET_COL] for r in summary})
         batch_pairs = {(r[BUCKET_COL], r[ROUTE_COL]) for r in summary}
         observed_keys = sorted(
@@ -985,12 +979,12 @@ class ParquetLake:
 
     def _merge_cow(
         self, src_flat: DataFrame, touched, batch_pairs, extra_cols,
+        # batch_pairs is CONSUMED only by the MoR path (write-layout
+        # repartition); it rides here for the shared dispatch signature
         meta: dict, batch_id, stats: dict,
     ) -> dict:
         """Union touched base buckets with the batch, resolve LWW, rewrite
         those buckets."""
-        import time as _time
-
         for _ in range(3):
             if not meta.get("deltas"):
                 break
@@ -1044,9 +1038,9 @@ class ParquetLake:
             ).alias("pairs"),
         )
 
-        t0 = _time.monotonic()
+        t0 = time.monotonic()
         merged.write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
-        stats["write_sec"] = round(_time.monotonic() - t0, 3)
+        stats["write_sec"] = round(time.monotonic() - t0, 3)
         pairs = self._obs_get(obs, out_dir, pairs=[])["pairs"] or []
 
         written = {int(p["b"]) for p in pairs}
@@ -1108,6 +1102,13 @@ class ParquetLake:
             shutil.rmtree(out_dir, ignore_errors=True)
             stats["status"] = "skipped_duplicate_batch"
             return self.current_meta()
+        # COW is the one commit path that never reaches a compaction, so
+        # it must run its own retention: every merge rewrites bucket dirs
+        # and commits a snapshot, and without this a long-running COW
+        # table accumulates manifests AND superseded bucket generations
+        # without bound (the expire docstring's "bounds disk growth of
+        # the long-running tail job" was only true for MoR).
+        self.expire_snapshots(keep_last=self.snapshot_retention)
         return new_meta
 
     def _merge_mor(
@@ -1118,8 +1119,6 @@ class ParquetLake:
         no table read, no sort. LWW resolves at read/compaction; compaction
         (the COW aggregation over base + all deltas) runs every
         `compact_every` batches to bound read amplification."""
-        import time as _time
-
         from pyspark.sql import Observation
 
         data_rel = self._new_data_rel("d", meta)
@@ -1132,12 +1131,12 @@ class ParquetLake:
             obs, F.collect_set(F.col(ROUTE_COL)).alias("routes")
         )
 
-        t0 = _time.monotonic()
+        t0 = time.monotonic()
         # one task per (bucket, route) leaf the batch actually touches
         src_flat.repartition(
             max(len(batch_pairs), 1), F.col(BUCKET_COL), F.col(ROUTE_COL)
         ).write.partitionBy(BUCKET_COL, ROUTE_COL).mode("overwrite").parquet(out_dir)
-        stats["write_sec"] = round(_time.monotonic() - t0, 3)
+        stats["write_sec"] = round(time.monotonic() - t0, 3)
 
         delta_entry = {
             "path": data_rel, "format": "flat",
@@ -1179,9 +1178,9 @@ class ParquetLake:
 
         if (self.compact_every is not None
                 and self._raw_delta_count(new_meta) >= self.compact_every):
-            t0 = _time.monotonic()
+            t0 = time.monotonic()
             new_meta = self._maybe_compact(new_meta)
-            stats["compact_sec"] = round(_time.monotonic() - t0, 3)
+            stats["compact_sec"] = round(time.monotonic() - t0, 3)
         return new_meta
 
     def merge_parsed(self, parsed: DataFrame, batch_id) -> dict:
@@ -1210,13 +1209,11 @@ class ParquetLake:
         time, where the manifest already knows every observed column.
 
         Requires mode='mor'. Idempotent per batch_id like merge()."""
-        import time as _time
-
         from pyspark.sql import Observation
 
         if self.mode != "mor":
             raise ValueError("merge_parsed requires mode='mor'")
-        t_enter = _time.monotonic()
+        t_enter = time.monotonic()
         meta = self.current_meta() or self._empty_meta()
         if self._batch_applied(meta, batch_id):
             return {"status": "skipped_duplicate_batch", "batch_id": batch_id}
@@ -1226,7 +1223,7 @@ class ParquetLake:
 
         data_rel = self._new_data_rel("d", meta)
         out_dir = os.path.join(self.table_dir, data_rel)
-        t0 = _time.monotonic()
+        t0 = time.monotonic()
         # status-ONLY partitioning: the dead-letter statuses stay cheap to
         # scan, route stays a DATA column. Route dirs here (round 3's
         # status/route layout) multiplied the leaf-dir/file fan-out per
@@ -1239,15 +1236,15 @@ class ParquetLake:
         # delta's ok-files is O(backlog), not O(table).
         # per-batch overhead breakdown (driver-side serial costs around the
         # one write job) — lag diagnostics; all fields are milliseconds
-        timings = {"setup_ms": round((_time.monotonic() - t_enter) * 1000, 1)}
+        timings = {"setup_ms": round((time.monotonic() - t_enter) * 1000, 1)}
         src.write.partitionBy("status").mode("overwrite").parquet(out_dir)
-        t_after_write = _time.monotonic()
+        t_after_write = time.monotonic()
         got = self._obs_get(
             obs, out_dir,
             n_records=0, extras_keysets=[], ok_routes=[], ok_buckets=[],
             **{f"n_{s}": 0 for s in DLQ_STATUSES},
         )
-        timings["obs_ms"] = round((_time.monotonic() - t_after_write) * 1000, 1)
+        timings["obs_ms"] = round((time.monotonic() - t_after_write) * 1000, 1)
         stats = {
             "status": "committed",
             "batch_id": batch_id,
@@ -1278,7 +1275,7 @@ class ParquetLake:
         extra_cols += new_cols
         stats["new_columns"] = new_cols
 
-        t_meta = _time.monotonic()
+        t_meta = time.monotonic()
         delta_entry = {
             "path": data_rel, "format": "parsed",
             "routes": sorted(got["ok_routes"] or []),
@@ -1320,14 +1317,14 @@ class ParquetLake:
             shutil.rmtree(out_dir, ignore_errors=True)
             stats["status"] = "skipped_duplicate_batch"
             return stats
-        timings["commit_ms"] = round((_time.monotonic() - t_meta) * 1000, 1)
+        timings["commit_ms"] = round((time.monotonic() - t_meta) * 1000, 1)
         stats["delta_dir"] = out_dir
 
         if (self.compact_every is not None
                 and self._raw_delta_count(new_meta) >= self.compact_every):
-            t0 = _time.monotonic()
+            t0 = time.monotonic()
             new_meta = self._maybe_compact(new_meta)
-            stats["compact_sec"] = round(_time.monotonic() - t0, 3)
+            stats["compact_sec"] = round(time.monotonic() - t0, 3)
         stats["snapshot"] = new_meta["id"]
         return stats
 
@@ -1408,9 +1405,19 @@ class ParquetLake:
         # single-exchange fold: the repartition(bucket) inside
         # resolve_lww_clustered already clusters the write's (bucket,
         # route) leaves — one task per bucket writes its few route dirs
+        # exchange sized by the backlog's TOUCHED buckets (manifest
+        # union), not the table's modulus: at 10^5 buckets a small
+        # backlog would otherwise plan ~10^5 shuffle partitions and
+        # write tasks, ~all empty — the partition COUNT is independent
+        # of the bucket VALUES, so any count is winner-exact
+        touched_minor = self._delta_touched_buckets(meta)
+        n_parts = (
+            max(len(touched_minor), 1) if touched_minor is not None
+            else self.n_buckets
+        )
         merged = resolve_lww_clustered(
             delta.withColumn(BUCKET_COL, bucket_expr(self.n_buckets)),
-            self.n_buckets,
+            n_parts,
         )
         if self.minhash_bands:
             # sign this fold's winners once; a previous minor fold's
@@ -1471,7 +1478,7 @@ class ParquetLake:
                        for d in m.get("deltas", [])}
             if not consumed <= m_paths:
                 return None
-            return {
+            out = {
                 **{k: v for k, v in m.items()},
                 "id": m["id"] + 1,
                 "parent": m["id"],
@@ -1482,6 +1489,14 @@ class ParquetLake:
                 ],
                 "minor_count": m.get("minor_count", 0) + 1,
             }
+            # a fold is NOT a rollback: carrying the parent's rollback
+            # markers forward (the blanket spread above) would make
+            # read_changes spuriously reject ranges STARTING AT the
+            # rollback commit — the exact recovery path rollback_to
+            # documents as working
+            out.pop("rollback", None)
+            out.pop("rolled_back_to", None)
+            return out
 
         new_meta = self._commit_with_rebase(meta, build)
         if new_meta is None:

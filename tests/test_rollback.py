@@ -245,3 +245,28 @@ def test_rollback_interleavings_match_oracle(
     want = {k: v.get("content")
             for k, v in _oracle.replay(recs)["state"].items()}
     assert got == want
+
+
+def test_minor_fold_does_not_inherit_the_rollback_marker(spark, tmp_path):
+    """rollback_to documents that change reads STARTING AT the rollback
+    commit work normally. A MINOR fold's rebase spread used to copy the
+    parent manifest wholesale — including the rollback marker — so the
+    first minor fold after a rollback re-poisoned the chain and
+    read_changes(rb_id, current) raised 'crosses a rollback', forcing
+    the needless full resync the contract promises to avoid."""
+    lake = _lake(spark, tmp_path)
+    _feed(spark, lake, 0, [_up(1, 1, 1)])
+    a = lake.current_meta()["id"]
+    _feed(spark, lake, 1, [_up(1, 666, 10)])  # the bad batch
+    rolled = lake.rollback_to(a)
+    rb_id = rolled["id"]
+
+    # the rolled-back manifest still holds batch 0's raw delta: a MINOR
+    # fold right here is the natural next maintenance action
+    folded = lake.compact_now(tier="minor")
+    assert not folded.get("rollback"), "fold must not carry the marker"
+
+    _feed(spark, lake, 2, [_up(3, 1, 20)])
+    changes = {(r["repo"], r["path"], r["_change_type"])
+               for r in lake.read_changes(rb_id).collect()}
+    assert changes == {("r", "p3", "insert")}

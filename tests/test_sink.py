@@ -261,3 +261,34 @@ def test_clustered_lww_same_winners_single_exchange(spark, tmp_path):
     merged.write.partitionBy(BUCKET_COL, "route").mode("overwrite").parquet(out)
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_cow_long_run_is_retention_bounded(spark, tmp_table):
+    """A long-running COW table must not grow manifests and superseded
+    bucket generations without bound: every COW merge commits a snapshot
+    and rewrites bucket dirs, and (unlike MoR) no compaction ever runs to
+    trigger retention — so the merge path itself must expire. Before the
+    fix, expire_snapshots was unreachable in cow mode and N batches left
+    N manifests plus up to N generations of rewritten buckets."""
+    import os
+
+    lake = ParquetLake(spark, tmp_table, n_buckets=4, mode="cow",
+                       snapshot_retention=3)
+    for i in range(8):
+        b = _deduped(spark, [_env("r", "p", lsn=10 + i,
+                                  content=f"v{i}")])
+        lake.merge(b, i)
+
+    snaps = [f for f in os.listdir(os.path.join(tmp_table, "_meta"))
+             if f.startswith("snap-")]
+    assert len(snaps) <= 3 + 1, snaps  # retention window (+ tolerance)
+    data_dirs = os.listdir(os.path.join(tmp_table, "data"))
+    # every kept snapshot references at most one generation of the one
+    # touched bucket; 8 un-expired generations would mean no sweeping
+    assert len(data_dirs) <= 3 + 1, data_dirs
+
+    rows = {(r["repo"], r["path"]): r["content"]
+            for r in lake.read().collect()}
+    assert rows == {("r", "p"): "v7"}
+    # time travel within the retention window still works
+    assert lake.read(snapshot_id=lake.current_meta()["id"] - 1).count() == 1
